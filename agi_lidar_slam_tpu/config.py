@@ -1,0 +1,115 @@
+"""Typed configuration tree for the engine.
+
+One frozen-dataclass config replaces the reference's four config styles
+(scattered rosparams, LIO-SAM's ParamServer utility.h:62-262, LeGO-LOAM's
+compile-time utility.h:50-103, LIO-Livox's cv::FileStorage YAML). Presets at
+the bottom reproduce each reference package's operating point.
+
+All fields are static (hashable) so configs can be closed over by jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """A-LOAM / LIO-SAM curvature feature extraction (scanRegistration.cpp:254-432,
+    featureExtraction.cpp:108-296)."""
+
+    curvature_window: int = 5  # +-5 neighbors in the curvature sum
+    n_sectors: int = 6  # sectors per ring (A-LOAM: 6)
+    corners_per_sector: int = 20  # "less sharp" pick budget per sector
+    corner_thresh: float = 0.1  # curvature > thresh -> edge candidate
+    surf_thresh: float = 0.1  # curvature < thresh -> planar candidate
+    nms_window: int = 5  # suppression half-window around picks
+    surf_voxel: float = 0.4  # less-flat downsample leaf (m)
+    max_corners: int = 2048  # fixed output capacity
+    max_surfs: int = 8192
+    min_range: float = 0.3  # blind-zone removal
+    max_range: float = 120.0
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Hashed voxel-block map (replaces ikd-Tree / 4851-cube arrays / per-cube
+    kd-trees; SURVEY.md section 7.1 item 4)."""
+
+    log2_slots: int = 18  # hash table has 2**log2_slots blocks
+    sub_voxel: float = 0.4  # map resolution: at most one point per sub-voxel
+    block_sub: int = 2  # sub-voxels per block edge (block = sub_voxel*block_sub)
+    probes: int = 8  # linear-probe length
+    claim_rounds: int = 8  # insert conflict-resolution rounds
+
+    @property
+    def slots(self) -> int:
+        return 1 << self.log2_slots
+
+    @property
+    def bucket(self) -> int:
+        return self.block_sub**3
+
+    @property
+    def block_size(self) -> float:
+        return self.sub_voxel * self.block_sub
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Scan-to-map Gauss-Newton (A-LOAM laserMapping.cpp:637-817, LIO-SAM
+    LMOptimization :1552-1700)."""
+
+    n_iters: int = 8  # association + GN steps (reference: 2x4 .. 30)
+    k_neighbors: int = 5
+    corner_gate_sq: float = 1.0  # max sq dist of k-th corner neighbor (m^2)
+    surf_gate_sq: float = 1.0
+    line_eig_ratio: float = 3.0  # lambda_max > ratio * lambda_mid -> line OK
+    plane_tol: float = 0.2  # max |n.p + d| over the 5 plane points (m)
+    huber_delta: float = 0.1  # robust loss scale (Ceres HuberLoss(0.1))
+    degen_eig_thresh: float = 100.0  # eigenvalue clamp on J^T J (LIO-SAM: 100)
+    translation_clip: float = 1.0  # max |dt| per GN step (m), stability guard
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # NOTE: 27-block KNN guarantees full coverage out to one block_size from
+    # the query, so block_size must be >= sqrt(gate_sq) of the solver.
+    features: FeatureConfig = FeatureConfig()
+    corner_map: MapConfig = MapConfig(sub_voxel=0.4, block_sub=4, log2_slots=16)
+    surf_map: MapConfig = MapConfig(sub_voxel=0.8, block_sub=2, log2_slots=18)
+    solver: SolverConfig = SolverConfig()
+    # scan-to-map consumes voxel-downsampled features (laserMapping.cpp:760-775)
+    corner_ds_voxel: float = 0.4
+    surf_ds_voxel: float = 0.8
+    deskew: bool = True  # constant-velocity deskew (A-LOAM DISTORTION flag)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+# ---------------------------------------------------------------------------
+# Presets (reference operating points)
+# ---------------------------------------------------------------------------
+
+
+def preset_aloam_kitti64() -> PipelineConfig:
+    """A-LOAM on KITTI HDL-64 (aloam_velodyne_HDL_64.launch: line_res 0.4,
+    plane_res 0.8)."""
+    return PipelineConfig()
+
+
+def preset_sim16() -> PipelineConfig:
+    """Small 16-beam config for CPU tests and the synthetic simulator."""
+    return PipelineConfig(
+        features=FeatureConfig(
+            corners_per_sector=8, max_corners=512, max_surfs=2048, surf_voxel=0.3
+        ),
+        corner_map=MapConfig(sub_voxel=0.25, block_sub=4, log2_slots=14),
+        surf_map=MapConfig(sub_voxel=0.5, block_sub=2, log2_slots=15),
+        solver=SolverConfig(n_iters=6),
+        corner_ds_voxel=0.2,
+        surf_ds_voxel=0.4,
+    )

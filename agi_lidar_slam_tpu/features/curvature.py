@@ -1,0 +1,109 @@
+"""Curvature-based edge/planar feature extraction (A-LOAM / LIO-SAM family).
+
+Reference behavior being reproduced (not ported):
+* 11-point curvature  c = || sum_{j=-5..5, j!=0} (p_j - p_0) ||^2 computed per
+  ring (A-LOAM scanRegistration.cpp:254-278; LIO-SAM featureExtraction.cpp:
+  108-131 uses range differences — same construct).
+* each ring is split into 6 sectors; per sector the top corners by curvature
+  above a threshold are picked with +-5-point non-max suppression
+  (scanRegistration.cpp:289-432 pick loops).
+* remaining low-curvature points form the planar ("less flat") cloud, voxel
+  downsampled (scanRegistration.cpp:421-427).
+
+TPU-native formulation: curvature via rolled sums along the ring axis (the
+azimuth axis wraps, which is correct for 360-degree sweeps), sequential NMS
+replaced by a local-max mask + per-sector top-k — branch-free and fully
+parallel over (ring, sector).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FeatureConfig
+from ..pointcloud.cloud import PointBatch, ScanGrid
+from ..pointcloud.voxel import voxel_downsample
+
+
+class ScanFeatures(NamedTuple):
+    corners: PointBatch  # edge features (capacity R * n_sectors * corners_per_sector)
+    surfs: PointBatch  # planar features (capacity cfg.max_surfs)
+
+
+def curvature(scan: ScanGrid, cfg: FeatureConfig):
+    """Per-point curvature and candidate validity. Returns (c (R,W), valid (R,W))."""
+    xyz, mask = scan.xyz, scan.mask
+    r = jnp.linalg.norm(xyz, axis=-1)
+    valid = mask & (r > cfg.min_range) & (r < cfg.max_range)
+    w = cfg.curvature_window
+    acc = -2.0 * w * xyz
+    all_valid = valid
+    for j in range(1, w + 1):
+        for s in (j, -j):
+            acc = acc + jnp.roll(xyz, s, axis=1)
+            all_valid = all_valid & jnp.roll(valid, s, axis=1)
+    c = jnp.sum(acc * acc, axis=-1)
+    return jnp.where(all_valid, c, 0.0), all_valid
+
+
+def occlusion_mask(scan: ScanGrid, cfg: FeatureConfig) -> jnp.ndarray:
+    """True where a point must NOT be picked as a feature.
+
+    Reproduces LIO-SAM featureExtraction.cpp:137-177 markOccludedPoints:
+    * occlusion: across a depth gap > 0.3 m between azimuth neighbors, the 6
+      points on the FAR side of the gap are silhouette artifacts (their edge
+      moves with viewpoint) and are excluded;
+    * parallel beam: points whose range jumps on both sides (> 2% of range)
+      lie on surfaces nearly parallel to the beam and are unstable.
+    """
+    r = jnp.linalg.norm(scan.xyz, axis=-1)
+    valid = scan.mask
+    gap = jnp.roll(r, -1, axis=1) - r  # range step from col i to i+1
+    gap_valid = valid & jnp.roll(valid, -1, axis=1)
+    far_here = gap_valid & (gap < -0.3)  # i is far side, i+1 near: mark i-5..i
+    far_next = gap_valid & (gap > 0.3)  # i+1 far side: mark i+1..i+6
+    marked = jnp.zeros_like(valid)
+    for j in range(6):
+        marked = marked | jnp.roll(far_here, j, axis=1)  # trigger at i marks i-j
+        marked = marked | jnp.roll(far_next, j + 1, axis=1)
+    diff1 = jnp.abs(jnp.roll(r, 1, axis=1) - r)
+    diff2 = jnp.abs(jnp.roll(r, -1, axis=1) - r)
+    parallel = (diff1 > 0.02 * r) & (diff2 > 0.02 * r)
+    return marked | parallel
+
+
+def extract_features(scan: ScanGrid, cfg: FeatureConfig) -> ScanFeatures:
+    R, W = scan.rings, scan.width
+    S = cfg.n_sectors
+    Ws = W // S
+    k = cfg.corners_per_sector
+
+    c, valid = curvature(scan, cfg)
+    valid = valid & ~occlusion_mask(scan, cfg)
+
+    # --- corners: local-max over +-nms_window, then per-sector top-k ---------
+    cmax = c
+    for j in range(1, cfg.nms_window + 1):
+        cmax = jnp.maximum(cmax, jnp.maximum(jnp.roll(c, j, axis=1), jnp.roll(c, -j, axis=1)))
+    corner_cand = valid & (c > cfg.corner_thresh) & (c >= cmax)
+
+    score = jnp.where(corner_cand, c, -1.0)[:, : S * Ws].reshape(R, S, Ws)
+    top, idx = jax.lax.top_k(score, k)  # (R,S,k)
+    col = idx + (jnp.arange(S, dtype=jnp.int32) * Ws)[None, :, None]
+    corner_xyz = jnp.take_along_axis(
+        scan.xyz, col.reshape(R, S * k)[..., None], axis=1
+    ).reshape(-1, 3)
+    corner_mask = (top > 0.0).reshape(-1)
+    picked = jnp.zeros((R, W), dtype=bool).at[
+        jnp.repeat(jnp.arange(R, dtype=jnp.int32), S * k), col.reshape(-1)
+    ].set(corner_mask)
+
+    # --- surfs: low-curvature, not corner-picked, voxel downsampled ----------
+    surf_cand = valid & (c < cfg.surf_thresh) & ~picked
+    surfs = voxel_downsample(
+        scan.xyz.reshape(-1, 3), surf_cand.reshape(-1), cfg.surf_voxel, cfg.max_surfs
+    )
+    return ScanFeatures(PointBatch(corner_xyz, corner_mask), surfs)

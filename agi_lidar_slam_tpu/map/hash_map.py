@@ -1,0 +1,180 @@
+"""Hashed voxel-block map — the TPU-native replacement for every spatial index
+in the reference:
+
+* S-FAST_LIO's ikd-Tree (ikd_Tree.h:45-299, 1.9k LoC incremental kd-tree with a
+  rebuild thread),
+* A-LOAM / livox_mapping's 21x21x11 cube-of-clouds with per-frame kd-tree
+  rebuilds (laserMapping.cpp:72-113, 617-618),
+* LIO-Livox's cube map with a kd-tree per cube (Map_Manager.h:103-146).
+
+Design (SURVEY.md section 7.1 item 4): an open-addressing hash table of voxel
+*blocks*. Each block is a `block_sub`^3 lattice of sub-voxels holding at most
+one point each — this reproduces ikd-Tree's downsample-on-insert semantics
+(one representative point per `filter_size_map` cell) with O(1) insert and no
+tree, no rebuild thread, no locks. K-nearest-neighbor queries gather the 27
+neighboring blocks and take a top-k — contiguous block rows make the gather
+HBM-friendly.
+
+All operations are pure functions on fixed-shape arrays and fully batched, so
+they jit, vmap, and shard (block slots can be sharded across devices by slot
+range; see parallel docs).
+
+Probe-chain note: lookups scan all `probes` candidate slots for a key match
+instead of early-terminating at the first empty slot, so box-deletion can
+simply clear keys without tombstones.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from ..config import MapConfig
+
+EMPTY_KEY = jnp.int32(-(2**31) + 1)  # sentinel block coordinate (all three axes)
+
+
+class HashVoxelMap(NamedTuple):
+    """keys: (C+1, 3) int32 block coords (row C is a scatter dump row).
+    points: (C+1, B, 3) f32 one point per sub-voxel slot.
+    occ: (C+1, B) bool sub-voxel occupancy."""
+
+    keys: jnp.ndarray
+    points: jnp.ndarray
+    occ: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0] - 1
+
+    @property
+    def bucket(self) -> int:
+        return self.points.shape[1]
+
+    def num_points(self) -> jnp.ndarray:
+        return jnp.sum(self.occ[:-1].astype(jnp.int32))
+
+    def num_blocks(self) -> jnp.ndarray:
+        return jnp.sum((self.keys[:-1, 0] != EMPTY_KEY).astype(jnp.int32))
+
+
+def empty_map(cfg: MapConfig) -> HashVoxelMap:
+    C, B = cfg.slots, cfg.bucket
+    return HashVoxelMap(
+        keys=jnp.full((C + 1, 3), EMPTY_KEY, dtype=jnp.int32),
+        points=jnp.zeros((C + 1, B, 3), dtype=jnp.float32),
+        occ=jnp.zeros((C + 1, B), dtype=bool),
+    )
+
+
+def _hash(bc: jnp.ndarray, log2_slots: int) -> jnp.ndarray:
+    """Spatial hash of integer block coords (...,3) -> slot in [0, 2**log2_slots).
+    Classic large-prime XOR hash; int32 wraparound is deterministic on XLA."""
+    h = (
+        bc[..., 0] * jnp.int32(73856093)
+        ^ bc[..., 1] * jnp.int32(19349663)
+        ^ bc[..., 2] * jnp.int32(83492791)
+    )
+    return (h & jnp.int32(0x7FFFFFFF)) & jnp.int32((1 << log2_slots) - 1)
+
+
+def block_coords(xyz: jnp.ndarray, cfg: MapConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Points (...,3) -> (block coord (...,3) int32, sub-voxel id (...,) int32)."""
+    sv = jnp.floor(xyz / cfg.sub_voxel).astype(jnp.int32)
+    bc = sv // cfg.block_sub  # floor division (numpy semantics)
+    local = sv - bc * cfg.block_sub
+    sub_id = (local[..., 0] * cfg.block_sub + local[..., 1]) * cfg.block_sub + local[..., 2]
+    return bc, sub_id
+
+
+def lookup(keys: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
+    """Slot of each queried block coord, or -1 if absent. keys (C+1,3), bc (...,3)."""
+    h = _hash(bc, cfg.log2_slots)
+    mask_c = jnp.int32(cfg.slots - 1)
+    slot = jnp.full(bc.shape[:-1], -1, dtype=jnp.int32)
+    for p in range(cfg.probes):
+        cand = (h + p) & mask_c
+        match = jnp.all(keys[cand] == bc, axis=-1)
+        slot = jnp.where((slot < 0) & match, cand, slot)
+    return slot
+
+
+def _first_empty(keys: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
+    """First empty probe slot for each block coord, or -1 if the chain is full."""
+    h = _hash(bc, cfg.log2_slots)
+    mask_c = jnp.int32(cfg.slots - 1)
+    slot = jnp.full(bc.shape[:-1], -1, dtype=jnp.int32)
+    for p in range(cfg.probes):
+        cand = (h + p) & mask_c
+        is_empty = keys[cand, 0] == EMPTY_KEY
+        slot = jnp.where((slot < 0) & is_empty, cand, slot)
+    return slot
+
+
+def insert(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray, cfg: MapConfig) -> HashVoxelMap:
+    """Insert a padded point batch (N,3)+(N,) into the map (pure; returns new map).
+
+    Existing sub-voxel occupants win (first-point-kept downsample, matching
+    ikd-Tree's on-insert filtering). New blocks claim hash slots over
+    `claim_rounds` conflict-resolution rounds: concurrent claimers of the same
+    empty slot are serialized by a scatter-min of point index; losers retry on
+    the next round against the updated table.
+    """
+    N = xyz.shape[0]
+    C, B = m.capacity, m.bucket
+    bc, sub_id = block_coords(xyz, cfg)
+    pt_idx = jnp.arange(N, dtype=jnp.int32)
+
+    keys = m.keys
+    for _ in range(cfg.claim_rounds):
+        slot = lookup(keys, bc, cfg)
+        need = mask & (slot < 0)
+        cand = _first_empty(keys, bc, cfg)
+        attempt = need & (cand >= 0)
+        cand_safe = jnp.where(attempt, cand, C)  # dump row
+        claim = jnp.full((C + 1,), N, dtype=jnp.int32).at[cand_safe].min(
+            jnp.where(attempt, pt_idx, N)
+        )
+        winner = attempt & (claim[cand_safe] == pt_idx)
+        keys = keys.at[jnp.where(winner, cand, C)].set(
+            jnp.where(winner[:, None], bc, keys[C])
+        )
+
+    slot = lookup(keys, bc, cfg)
+    placed = mask & (slot >= 0)
+    flat = jnp.where(placed, slot * B + sub_id, C * B)
+    # first-wins within a pre-existing map; among same-batch duplicates the
+    # lowest point index wins (scatter-min), keeping insertion deterministic.
+    occupied_before = m.occ.reshape(-1)[flat]
+    writeable = placed & ~occupied_before
+    flat_w = jnp.where(writeable, flat, C * B)
+    owner = jnp.full((C + 1) * B, N, dtype=jnp.int32).at[flat_w].min(
+        jnp.where(writeable, pt_idx, N)
+    )
+    is_owner = writeable & (owner[flat_w] == pt_idx)
+    flat_final = jnp.where(is_owner, flat, C * B)
+    points = m.points.reshape(-1, 3).at[flat_final].set(
+        jnp.where(is_owner[:, None], xyz, 0.0)
+    )
+    occ = m.occ.reshape(-1).at[flat_final].set(is_owner | m.occ.reshape(-1)[flat_final])
+    return HashVoxelMap(keys, points.reshape(C + 1, B, 3), occ.reshape(C + 1, B))
+
+
+def delete_outside_box(m: HashVoxelMap, lo: jnp.ndarray, hi: jnp.ndarray,
+                       cfg: MapConfig) -> HashVoxelMap:
+    """Drop every block whose center is outside [lo, hi] — the map-recentering /
+    FOV eviction primitive (A-LOAM laserMapping.cpp:342-559 block shifts,
+    S-FAST_LIO lasermap_fov_segment + Delete_Point_Boxes :309-365)."""
+    bsz = cfg.block_size
+    center = (m.keys[:-1].astype(jnp.float32) + 0.5) * bsz
+    live = m.keys[:-1, 0] != EMPTY_KEY
+    inside = jnp.all((center >= lo) & (center <= hi), axis=-1)
+    drop = live & ~inside
+    keys = jnp.concatenate(
+        [jnp.where(drop[:, None], EMPTY_KEY, m.keys[:-1]), m.keys[-1:]], axis=0
+    )
+    occ = jnp.concatenate(
+        [jnp.where(drop[:, None], False, m.occ[:-1]), m.occ[-1:]], axis=0
+    )
+    return HashVoxelMap(keys, m.points, occ)

@@ -1,0 +1,110 @@
+"""Single-program odometry+mapping pipeline (the engine's per-scan hot path).
+
+Where the reference runs 3-4 ROS processes connected by lossy pub/sub
+(A-LOAM scanRegistration -> laserOdometry -> laserMapping; SURVEY.md section
+3.1), this engine is ONE jitted function per scan: deskew -> feature
+extraction -> scan-to-map GN -> map insertion, all fused into a single XLA
+program — stage overlap comes from XLA's scheduler instead of TCP queues.
+
+Configuration `deskew=True` reproduces the constant-velocity distortion model
+(A-LOAM TransformToStart, laserOdometry.cpp:124-145: interpolate the previous
+relative motion by each point's intra-sweep time).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..estimators.gn_scan2map import GnStats, solve_scan2map
+from ..features.curvature import extract_features
+from ..geometry import se3, so3
+from ..map.hash_map import HashVoxelMap, empty_map, insert
+from ..pointcloud.cloud import ScanGrid
+from ..pointcloud.voxel import voxel_downsample
+
+
+class EngineState(NamedTuple):
+    pose: se3.Pose  # world_T_sensor at the latest processed sweep start
+    prev_pose: se3.Pose  # pose one sweep earlier (constant-velocity model)
+    corner_map: HashVoxelMap
+    surf_map: HashVoxelMap
+    frame: jnp.ndarray  # int32 scan counter
+
+
+class ScanResult(NamedTuple):
+    pose: se3.Pose
+    stats: GnStats
+
+
+def init_state(cfg: PipelineConfig) -> EngineState:
+    return EngineState(
+        pose=se3.Pose.identity(),
+        prev_pose=se3.Pose.identity(),
+        corner_map=empty_map(cfg.corner_map),
+        surf_map=empty_map(cfg.surf_map),
+        frame=jnp.int32(0),
+    )
+
+
+def deskew_constant_velocity(scan: ScanGrid, rel: se3.Pose) -> ScanGrid:
+    """Map each point into the start-of-sweep frame assuming the sensor moved
+    by `rel` uniformly over the sweep: p' = interp(I, rel, tau) . p."""
+    tau = scan.time
+    q_i = so3.slerp(so3.quat_identity(), rel.q, tau)  # (R,W,4)
+    t_i = tau[..., None] * rel.t
+    xyz = so3.quat_rotate(q_i, scan.xyz) + t_i
+    return ScanGrid(xyz, scan.mask, scan.time)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def process_scan(
+    state: EngineState, scan: ScanGrid, cfg: PipelineConfig
+) -> Tuple[EngineState, ScanResult]:
+    """Process one sweep. Pure function: jit once, stream scans through it."""
+    rel = se3.compose(se3.inverse(state.prev_pose), state.pose)
+    pred = se3.compose(state.pose, rel)  # constant-velocity initial guess
+
+    if cfg.deskew:
+        scan = deskew_constant_velocity(scan, rel)
+
+    feats = extract_features(scan, cfg.features)
+    corners = voxel_downsample(
+        feats.corners.xyz, feats.corners.mask, cfg.corner_ds_voxel, cfg.features.max_corners
+    )
+    surfs = voxel_downsample(
+        feats.surfs.xyz, feats.surfs.mask, cfg.surf_ds_voxel, cfg.features.max_surfs
+    )
+
+    # On an empty map (first frames) every eigenvalue of H is below the
+    # degeneracy threshold, so the solver is a no-op and the pose stays at the
+    # prediction — no special first-frame branch needed.
+    pose_opt, stats = solve_scan2map(
+        pred, corners, surfs, state.corner_map, state.surf_map,
+        cfg.corner_map, cfg.surf_map, cfg.solver,
+    )
+
+    R = so3.quat_to_matrix(pose_opt.q)
+    cmap = insert(state.corner_map, corners.xyz @ R.T + pose_opt.t, corners.mask,
+                  cfg.corner_map)
+    smap = insert(state.surf_map, surfs.xyz @ R.T + pose_opt.t, surfs.mask,
+                  cfg.surf_map)
+
+    new_state = EngineState(pose_opt, state.pose, cmap, smap, state.frame + 1)
+    return new_state, ScanResult(pose_opt, stats)
+
+
+def run_sequence(scans, cfg: PipelineConfig, state: EngineState | None = None):
+    """Host driver: stream a list/iterator of ScanGrids through the engine.
+    Returns (final state, list of ScanResults)."""
+    if state is None:
+        state = init_state(cfg)
+    results = []
+    for scan in scans:
+        state, res = process_scan(state, scan, cfg)
+        results.append(res)
+    return state, results

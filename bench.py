@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: full per-scan pipeline throughput on the real chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Metric: sustained scans/second of the complete odometry+mapping hot path
+(deskew -> feature extraction -> iterated scan-to-map GN with KNN re-association
+-> map insertion) at KITTI HDL-64 scale (64x1800 grid, ~8k surf + 2k corner
+features after downsampling), the A-LOAM/LIO-SAM operating point.
+
+Baseline: the reference runs this pipeline at 10 scans/s (10 Hz lidar) with a
+100 ms real-time budget per stage (A-LOAM scanRegistration.cpp:480,
+laserOdometry.cpp:693) — vs_baseline = scans_per_s / 10. The BASELINE.md
+north-star target is >=10x real-time per chip, i.e. vs_baseline >= 10.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from agi_lidar_slam_tpu.config import preset_aloam_kitti64
+from agi_lidar_slam_tpu.geometry import se3, so3
+from agi_lidar_slam_tpu.runtime.pipeline import init_state, process_scan
+from agi_lidar_slam_tpu.sim.world import default_world, simulate_scan
+
+
+def make_scans(n_scans: int = 8):
+    """KITTI-HDL-64-scale synthetic scans along a short trajectory."""
+    world = default_world(seed=0, n_pillars=48, extent=35.0)
+    scans, poses = [], []
+    q, t = so3.quat_identity(), jnp.zeros(3)
+    for i in range(n_scans):
+        pose = se3.Pose(q, t)
+        nxt = se3.Pose(
+            so3.quat_normalize(so3.quat_mul(q, so3.quat_exp(jnp.asarray([0.0, 0.0, 0.01])))),
+            t + so3.quat_rotate(q, jnp.asarray([1.0, 0.0, 0.0])),
+        )
+        scans.append(
+            simulate_scan(world, pose, nxt, rings=64, width=1800,
+                          fov_up_deg=2.0, fov_down_deg=-24.8, max_range=80.0,
+                          noise_std=0.01, seed=i)
+        )
+        poses.append(pose)
+        q, t = nxt.q, nxt.t
+    return scans
+
+
+def main():
+    cfg = preset_aloam_kitti64()
+    scans = [jax.device_put(s) for s in make_scans()]
+    state = init_state(cfg)
+
+    # warmup: compile + populate the map so the steady-state step is realistic
+    for s in scans[:3]:
+        state, res = process_scan(state, s, cfg)
+    jax.block_until_ready(res.pose.t)
+
+    n_reps = 5
+    n = 0
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        for s in scans[3:]:
+            state, res = process_scan(state, s, cfg)
+            n += 1
+    jax.block_until_ready(res.pose.t)
+    dt = time.perf_counter() - t0
+
+    scans_per_s = n / dt
+    print(json.dumps({
+        "metric": "odometry_pipeline_throughput",
+        "value": round(scans_per_s, 2),
+        "unit": "scans/s (HDL-64 scale, full deskew+features+GN+map-update)",
+        "vs_baseline": round(scans_per_s / 10.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

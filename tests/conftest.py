@@ -1,0 +1,22 @@
+"""Test environment: force CPU with 8 virtual devices so sharding/pjit tests
+run anywhere (the 'fake backend' the reference lacks — SURVEY.md section 4).
+
+The container's sitecustomize registers an experimental TPU PJRT plugin
+('axon') at interpreter start; with JAX_PLATFORMS=cpu that plugin's discovery
+path hangs, so we drop its backend factory before JAX initializes backends.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import jax._src.xla_bridge as _xb  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+for _name in list(getattr(_xb, "_backend_factories", {})):
+    if _name != "cpu":
+        _xb._backend_factories.pop(_name, None)

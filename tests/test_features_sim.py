@@ -1,0 +1,91 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agi_lidar_slam_tpu.config import FeatureConfig
+from agi_lidar_slam_tpu.features.curvature import curvature, extract_features
+from agi_lidar_slam_tpu.geometry import se3
+from agi_lidar_slam_tpu.sim.world import default_world, simulate_scan
+
+CFG = FeatureConfig(corners_per_sector=8, max_surfs=4096, surf_voxel=0.3)
+
+
+def make_scan(seed=0):
+    world = default_world(seed=seed)
+    p = se3.Pose.identity()
+    return world, simulate_scan(world, p, p, rings=16, width=900)
+
+
+class TestSimulator:
+    def test_scan_has_returns(self):
+        _, scan = make_scan()
+        frac = float(scan.mask.mean())
+        assert frac > 0.5  # walled arena: most rays hit something
+
+    def test_ranges_sane(self):
+        _, scan = make_scan()
+        r = np.linalg.norm(np.asarray(scan.xyz), axis=-1)[np.asarray(scan.mask)]
+        assert r.min() > 0.5 and r.max() < 80.0
+
+    def test_motion_distortion(self):
+        world = default_world()
+        a = se3.Pose.identity()
+        b = se3.Pose(se3.so3.quat_identity(), jnp.asarray([1.0, 0.0, 0.0]))
+        rigid = simulate_scan(world, a, a, rings=4, width=128)
+        moved = simulate_scan(world, a, b, rings=4, width=128)
+        both = np.asarray(rigid.mask & moved.mask)
+        d = np.linalg.norm(np.asarray(rigid.xyz - moved.xyz), axis=-1)
+        # late columns must differ (sensor has moved), early columns barely
+        assert d[:, 1:5][both[:, 1:5]].max() < 0.2
+        assert d[:, -40:][both[:, -40:]].mean() > 0.05
+
+
+class TestFeatures:
+    def test_counts_nonzero(self):
+        _, scan = make_scan()
+        feats = extract_features(scan, CFG)
+        assert int(feats.corners.mask.sum()) > 20
+        assert int(feats.surfs.mask.sum()) > 200
+
+    def test_corner_curvature_high(self):
+        _, scan = make_scan()
+        c, valid = curvature(scan, CFG)
+        feats = extract_features(scan, CFG)
+        # picked corners all exceeded the curvature threshold by construction;
+        # verify via reconstruction: every picked corner point has curvature
+        # above threshold somewhere in the grid
+        corner_pts = np.asarray(feats.corners.xyz[np.asarray(feats.corners.mask)])
+        grid = np.asarray(scan.xyz).reshape(-1, 3)
+        cflat = np.asarray(c).reshape(-1)
+        for p in corner_pts[:50]:
+            idx = np.argmin(np.linalg.norm(grid - p, axis=-1))
+            assert cflat[idx] > CFG.corner_thresh
+
+    def test_surfs_on_planes(self):
+        world, scan = make_scan()
+        feats = extract_features(scan, CFG)
+        surfs = np.asarray(feats.surfs.xyz[np.asarray(feats.surfs.mask)])
+        # most surf points lie on the ground slab or a wall/pillar face:
+        # distance to the nearest box face should be tiny
+        lo, hi = np.asarray(world.lo), np.asarray(world.hi)
+        p = surfs[:, None, :]
+        inside_clamped = np.clip(p, lo[None], hi[None])
+        d_outside = np.linalg.norm(p - inside_clamped, axis=-1)
+        d_face_inside = np.min(
+            np.minimum(np.abs(p - lo[None]), np.abs(p - hi[None])), axis=-1
+        )
+        d_face = np.where(d_outside > 1e-6, d_outside, d_face_inside)
+        nearest = d_face.min(axis=1)
+        assert np.quantile(nearest, 0.9) < 0.1
+
+    def test_shapes_static(self):
+        _, scan = make_scan()
+        f1 = extract_features(scan, CFG)
+        _, scan2 = make_scan(seed=3)
+        f2 = extract_features(scan2, CFG)
+        assert f1.corners.xyz.shape == f2.corners.xyz.shape
+        assert f1.surfs.xyz.shape == f2.surfs.xyz.shape
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
