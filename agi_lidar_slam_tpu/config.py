@@ -43,6 +43,9 @@ class MapConfig:
     block_sub: int = 2  # sub-voxels per block edge (block = sub_voxel*block_sub)
     probes: int = 8  # linear-probe length
     claim_rounds: int = 8  # insert conflict-resolution rounds
+    neighborhood: str = "octant8"  # KNN block set: "octant8" (coverage =
+    # block_size/2, fast) or "full27" (coverage = block_size)
+    approx_topk: bool = False  # use TPU approx_max_k in KNN selection
 
     @property
     def slots(self) -> int:
@@ -62,7 +65,8 @@ class SolverConfig:
     """Scan-to-map Gauss-Newton (A-LOAM laserMapping.cpp:637-817, LIO-SAM
     LMOptimization :1552-1700)."""
 
-    n_iters: int = 8  # association + GN steps (reference: 2x4 .. 30)
+    n_outer: int = 3  # association passes (reference: A-LOAM 2, LIO-SAM ~30)
+    n_inner: int = 3  # GN re-linearizations per association (A-LOAM: 4 LM iters)
     k_neighbors: int = 5
     corner_gate_sq: float = 1.0  # max sq dist of k-th corner neighbor (m^2)
     surf_gate_sq: float = 1.0
@@ -75,11 +79,11 @@ class SolverConfig:
 
 @dataclass(frozen=True)
 class PipelineConfig:
-    # NOTE: 27-block KNN guarantees full coverage out to one block_size from
-    # the query, so block_size must be >= sqrt(gate_sq) of the solver.
+    # NOTE: KNN coverage radius is block_size/2 for octant8 and block_size for
+    # full27; it must be >= sqrt(gate_sq) of the solver.
     features: FeatureConfig = FeatureConfig()
-    corner_map: MapConfig = MapConfig(sub_voxel=0.4, block_sub=4, log2_slots=16)
-    surf_map: MapConfig = MapConfig(sub_voxel=0.8, block_sub=2, log2_slots=18)
+    corner_map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=15)
+    surf_map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=17)
     solver: SolverConfig = SolverConfig()
     # scan-to-map consumes voxel-downsampled features (laserMapping.cpp:760-775)
     corner_ds_voxel: float = 0.4
@@ -107,9 +111,11 @@ def preset_sim16() -> PipelineConfig:
         features=FeatureConfig(
             corners_per_sector=8, max_corners=512, max_surfs=2048, surf_voxel=0.3
         ),
-        corner_map=MapConfig(sub_voxel=0.25, block_sub=4, log2_slots=14),
-        surf_map=MapConfig(sub_voxel=0.5, block_sub=2, log2_slots=15),
-        solver=SolverConfig(n_iters=6),
+        corner_map=MapConfig(sub_voxel=0.25, block_sub=4, log2_slots=14,
+                             neighborhood="full27"),
+        surf_map=MapConfig(sub_voxel=0.5, block_sub=2, log2_slots=15,
+                           neighborhood="full27"),
+        solver=SolverConfig(n_outer=3, n_inner=2),
         corner_ds_voxel=0.2,
         surf_ds_voxel=0.4,
     )

@@ -2,17 +2,20 @@
 
 This is the L6 local estimator of SURVEY.md for the LOAM family, replacing:
 * A-LOAM laserMapping.cpp:637-817 (per-point kd-tree 5-NN, Ceres auto-diff
-  edge/plane factors, 2x4 LM iterations),
+  edge/plane factors, 2 outer x 4 inner LM iterations),
 * LIO-SAM mapOptmization.cpp:1303-1700 (OpenMP corner/surf loops + hand-rolled
   LMOptimization with eigenvalue degeneracy projection, 30 iterations),
 * livox_mapping laserMapping.cpp:821-1105 (cv::solve 6-dof GN).
 
-TPU-native shape: every iteration re-associates ALL features in parallel
-(batched voxel-map KNN + closed-form line/plane fits), assembles analytic
-residual/Jacobian rows (no autodiff needed — the derivatives are 3 lines of
-math), reduces the 6x6 normal equations with one einsum (a `psum` when the
-point axis is sharded across chips), applies the LIO-SAM-style eigenvalue
-clamp for degenerate directions, and updates the pose on the SE(3) manifold.
+TPU-native shape, mirroring the reference's own outer/inner structure:
+* OUTER iterations re-associate all features in parallel (batched voxel-map
+  KNN + closed-form line/plane fits) — the expensive gathers;
+* INNER iterations re-linearize and step against the FIXED geometric
+  primitives (line centroid/direction, plane normal/offset) — pure einsum
+  work, nearly free.
+The 6x6 normal equations reduce with one einsum (a `psum` when the point axis
+is sharded across chips), degenerate directions are clamped LIO-SAM-style, and
+the pose updates on the SE(3) manifold.
 
 Perturbation convention: see geometry/se3.py — right rotation perturbation,
 additive translation:  dw/dtheta = -R [p]x,  dw/dt = I.
@@ -40,12 +43,23 @@ class GnStats(NamedTuple):
     degenerate: jnp.ndarray  # bool: any clamped direction in the final iteration
 
 
+class Correspondences(NamedTuple):
+    """Fixed geometric primitives from one association pass."""
+
+    line_centroid: jnp.ndarray  # (Nc,3)
+    line_dir: jnp.ndarray  # (Nc,3) unit
+    ok_c: jnp.ndarray  # (Nc,)
+    plane_n: jnp.ndarray  # (Ns,3) unit
+    plane_d: jnp.ndarray  # (Ns,)
+    ok_s: jnp.ndarray  # (Ns,)
+
+
 def _huber_sqrt_weight(r_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
     """sqrt of the Huber IRLS weight: 1 inside |r|<delta, sqrt(delta/|r|) outside."""
     return jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(r_norm, 1e-12)))
 
 
-def build_normal_equations(
+def associate(
     pose: se3.Pose,
     corners: PointBatch,
     surfs: PointBatch,
@@ -54,60 +68,79 @@ def build_normal_equations(
     cmap_cfg: MapConfig,
     smap_cfg: MapConfig,
     cfg: SolverConfig,
-):
-    """One association pass. Returns (H (6,6), g (6,), stats tuple).
-
-    The per-point H/g contributions are exact sums, so when the point axis is
-    sharded this function is followed by a psum over the point-shard axis
-    (parallel/sharded_step.py) — the TPU analog of the reference's OpenMP
-    parallel-for (mapOptmization.cpp:1307,1442).
-    """
+) -> Correspondences:
+    """One association pass: KNN + line/plane fits at the current pose."""
     R = so3.quat_to_matrix(pose.q)
     k = cfg.k_neighbors
 
-    # ---- edge (corner) rows -------------------------------------------------
     cw = corners.xyz @ R.T + pose.t
     nc = knn(corner_map, cw, corners.mask, k, cmap_cfg)
     gate_c = nc.sq_dists[:, k - 1] < cfg.corner_gate_sq
     line = fit_lines(nc.points, nc.valid, cfg.line_eig_ratio)
     ok_c = corners.mask & gate_c & line.ok
-    u = line.direction
-    P = jnp.eye(3) - u[:, :, None] * u[:, None, :]  # (N,3,3) projector
-    e = jnp.einsum("nij,nj->ni", P, cw - line.centroid)  # (N,3)
-    # zero invalid rows BEFORE weighting: invalid fits can carry inf/nan and
-    # inf * 0-weight = nan would poison the H/g reductions
-    e = jnp.where(ok_c[:, None], e, 0.0)
-    Jr = jnp.einsum("nij,njk->nik", P, -jnp.einsum("ij,njk->nik", R, so3.hat(corners.xyz)))
-    Jc = jnp.concatenate([Jr, P], axis=-1)  # (N,3,6)
-    w_c = _huber_sqrt_weight(jnp.linalg.norm(e, axis=-1), cfg.huber_delta)
-    w_c = jnp.where(ok_c, w_c, 0.0)
-    e_w = e * w_c[:, None]
-    J_w = Jc * w_c[:, None, None]
-    H = jnp.einsum("nri,nrj->ij", J_w, J_w)
-    g = jnp.einsum("nri,nr->i", J_w, e_w)
-    sq_sum = jnp.sum(e_w * e_w)
-    n_rows = 3.0 * jnp.sum(ok_c)
 
-    # ---- plane (surf) rows --------------------------------------------------
     sw = surfs.xyz @ R.T + pose.t
     ns = knn(surf_map, sw, surfs.mask, k, smap_cfg)
     gate_s = ns.sq_dists[:, k - 1] < cfg.surf_gate_sq
     plane = fit_planes(ns.points, ns.valid, cfg.plane_tol)
     ok_s = surfs.mask & gate_s & plane.ok
-    r_s = jnp.einsum("ni,ni->n", plane.normal, sw) + plane.offset  # (N,)
-    r_s = jnp.where(ok_s, r_s, 0.0)  # see edge-row comment: mask before weighting
-    Jr_s = jnp.einsum("ni,nij->nj", plane.normal, -jnp.einsum("ij,njk->nik", R, so3.hat(surfs.xyz)))
-    Js = jnp.concatenate([Jr_s, plane.normal], axis=-1)  # (N,6)
+
+    return Correspondences(line.centroid, line.direction, ok_c,
+                           plane.normal, plane.offset, ok_s)
+
+
+def normal_equations(
+    pose: se3.Pose,
+    corners: PointBatch,
+    surfs: PointBatch,
+    corr: Correspondences,
+    cfg: SolverConfig,
+):
+    """Linearize at `pose` against fixed correspondences. Returns (H, g, stats).
+
+    Per-point H/g contributions are exact sums over points, so a psum over a
+    point-shard axis (parallel/sharding.py) completes them — the TPU analog of
+    the reference's OpenMP parallel-for (mapOptmization.cpp:1307,1442).
+    """
+    R = so3.quat_to_matrix(pose.q)
+
+    # ---- edge (corner) rows -------------------------------------------------
+    cw = corners.xyz @ R.T + pose.t
+    u = corr.line_dir
+    P = jnp.eye(3) - u[:, :, None] * u[:, None, :]  # (N,3,3) projector
+    e = jnp.einsum("nij,nj->ni", P, cw - corr.line_centroid)
+    # zero invalid rows BEFORE weighting: invalid fits can carry inf/nan and
+    # inf * 0-weight = nan would poison the H/g reductions
+    e = jnp.where(corr.ok_c[:, None], e, 0.0)
+    Jr = jnp.einsum("nij,njk->nik", P, -jnp.einsum("ij,njk->nik", R, so3.hat(corners.xyz)))
+    Jc = jnp.concatenate([Jr, P], axis=-1)  # (N,3,6)
+    w_c = _huber_sqrt_weight(jnp.linalg.norm(e, axis=-1), cfg.huber_delta)
+    w_c = jnp.where(corr.ok_c, w_c, 0.0)
+    e_w = e * w_c[:, None]
+    J_w = Jc * w_c[:, None, None]
+    H = jnp.einsum("nri,nrj->ij", J_w, J_w)
+    g = jnp.einsum("nri,nr->i", J_w, e_w)
+    sq_sum = jnp.sum(e_w * e_w)
+    n_rows = 3.0 * jnp.sum(corr.ok_c)
+
+    # ---- plane (surf) rows --------------------------------------------------
+    sw = surfs.xyz @ R.T + pose.t
+    r_s = jnp.einsum("ni,ni->n", corr.plane_n, sw) + corr.plane_d
+    r_s = jnp.where(corr.ok_s, r_s, 0.0)  # see edge-row comment
+    Jr_s = jnp.einsum(
+        "ni,nij->nj", corr.plane_n, -jnp.einsum("ij,njk->nik", R, so3.hat(surfs.xyz))
+    )
+    Js = jnp.concatenate([Jr_s, corr.plane_n], axis=-1)  # (N,6)
     w_s = _huber_sqrt_weight(jnp.abs(r_s), cfg.huber_delta)
-    w_s = jnp.where(ok_s, w_s, 0.0)
+    w_s = jnp.where(corr.ok_s, w_s, 0.0)
     r_sw = r_s * w_s
     Js_w = Js * w_s[:, None]
     H = H + jnp.einsum("ni,nj->ij", Js_w, Js_w)
     g = g + jnp.einsum("ni,n->i", Js_w, r_sw)
     sq_sum = sq_sum + jnp.sum(r_sw * r_sw)
-    n_rows = n_rows + jnp.sum(ok_s)
+    n_rows = n_rows + jnp.sum(corr.ok_s)
 
-    stats = (jnp.sum(ok_c), jnp.sum(ok_s), sq_sum, n_rows)
+    stats = (jnp.sum(corr.ok_c), jnp.sum(corr.ok_s), sq_sum, n_rows)
     return H, g, stats
 
 
@@ -137,16 +170,21 @@ def solve_scan2map(
 ):
     """Iterated GN from initial guess pose0. Returns (pose, GnStats)."""
 
-    def body(_, carry):
+    def outer(_, carry):
         pose, _ = carry
-        H, g, (n_c, n_s, sq, n_rows) = build_normal_equations(
-            pose, corners, surfs, corner_map, surf_map, cmap_cfg, smap_cfg, cfg
-        )
-        delta, degen = solve_delta(H, g, cfg)
-        pose = se3.boxplus(pose, delta)
-        rms = jnp.sqrt(sq / jnp.maximum(n_rows, 1.0))
-        return pose, GnStats(n_c, n_s, rms, degen)
+        corr = associate(pose, corners, surfs, corner_map, surf_map,
+                         cmap_cfg, smap_cfg, cfg)
+
+        def inner(_, carry2):
+            pose, _ = carry2
+            H, g, (n_c, n_s, sq, n_rows) = normal_equations(pose, corners, surfs, corr, cfg)
+            delta, degen = solve_delta(H, g, cfg)
+            pose = se3.boxplus(pose, delta)
+            rms = jnp.sqrt(sq / jnp.maximum(n_rows, 1.0))
+            return pose, GnStats(n_c, n_s, rms, degen)
+
+        return jax.lax.fori_loop(0, cfg.n_inner, inner, carry)
 
     init = (pose0, GnStats(jnp.int32(0), jnp.int32(0), jnp.float32(0.0), jnp.bool_(False)))
-    pose, stats = jax.lax.fori_loop(0, cfg.n_iters, body, init)
+    pose, stats = jax.lax.fori_loop(0, cfg.n_outer, outer, init)
     return pose, stats

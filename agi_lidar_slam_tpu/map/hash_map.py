@@ -11,23 +11,28 @@ Design (SURVEY.md section 7.1 item 4): an open-addressing hash table of voxel
 *blocks*. Each block is a `block_sub`^3 lattice of sub-voxels holding at most
 one point each — this reproduces ikd-Tree's downsample-on-insert semantics
 (one representative point per `filter_size_map` cell) with O(1) insert and no
-tree, no rebuild thread, no locks. K-nearest-neighbor queries gather the 27
+tree, no rebuild thread, no locks. K-nearest-neighbor queries gather the
 neighboring blocks and take a top-k — contiguous block rows make the gather
 HBM-friendly.
 
+Performance-critical layout choices (measured on TPU v5e):
+* probe chains are CONTIGUOUS: the table has `probes` overflow rows past the
+  hashed range instead of wrapping mod C, so a whole chain loads as one
+  (probes, 3) window gather (vmapped dynamic_slice) instead of `probes`
+  scattered row gathers;
+* lookups scan the whole window for a key match rather than early-terminating
+  at the first empty slot, so box-deletion can clear keys without tombstones.
+
 All operations are pure functions on fixed-shape arrays and fully batched, so
 they jit, vmap, and shard (block slots can be sharded across devices by slot
-range; see parallel docs).
-
-Probe-chain note: lookups scan all `probes` candidate slots for a key match
-instead of early-terminating at the first empty slot, so box-deletion can
-simply clear keys without tombstones.
+range).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import MapConfig
@@ -36,17 +41,21 @@ EMPTY_KEY = jnp.int32(-(2**31) + 1)  # sentinel block coordinate (all three axes
 
 
 class HashVoxelMap(NamedTuple):
-    """keys: (C+1, 3) int32 block coords (row C is a scatter dump row).
-    points: (C+1, B, 3) f32 one point per sub-voxel slot.
-    occ: (C+1, B) bool sub-voxel occupancy."""
+    """keys: (C + probes + 1, 3) int32 block coords (last row is scatter dump).
+    points: (C + probes + 1, B, 3) f32 one point per sub-voxel slot.
+    occ: (C + probes + 1, B) bool sub-voxel occupancy.
+
+    Hashes land in [0, C); probe chains extend to [h, h+probes) without
+    wrap; row C+probes is write-trash for masked scatters.
+    """
 
     keys: jnp.ndarray
     points: jnp.ndarray
     occ: jnp.ndarray
 
     @property
-    def capacity(self) -> int:
-        return self.keys.shape[0] - 1
+    def n_rows(self) -> int:
+        return self.keys.shape[0]
 
     @property
     def bucket(self) -> int:
@@ -60,11 +69,12 @@ class HashVoxelMap(NamedTuple):
 
 
 def empty_map(cfg: MapConfig) -> HashVoxelMap:
-    C, B = cfg.slots, cfg.bucket
+    rows = cfg.slots + cfg.probes + 1
+    B = cfg.bucket
     return HashVoxelMap(
-        keys=jnp.full((C + 1, 3), EMPTY_KEY, dtype=jnp.int32),
-        points=jnp.zeros((C + 1, B, 3), dtype=jnp.float32),
-        occ=jnp.zeros((C + 1, B), dtype=bool),
+        keys=jnp.full((rows, 3), EMPTY_KEY, dtype=jnp.int32),
+        points=jnp.zeros((rows, B, 3), dtype=jnp.float32),
+        occ=jnp.zeros((rows, B), dtype=bool),
     )
 
 
@@ -88,28 +98,39 @@ def block_coords(xyz: jnp.ndarray, cfg: MapConfig) -> Tuple[jnp.ndarray, jnp.nda
     return bc, sub_id
 
 
+def _key_windows(keys: jnp.ndarray, h: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
+    """Gather the (probes, 3) probe window for each hash. h (N,) -> (N, P, 3).
+    One window gather per query instead of `probes` scattered row gathers."""
+    P = cfg.probes
+
+    def win(i):
+        return jax.lax.dynamic_slice(keys, (i, 0), (P, 3))
+
+    return jax.vmap(win)(h)
+
+
 def lookup(keys: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
-    """Slot of each queried block coord, or -1 if absent. keys (C+1,3), bc (...,3)."""
-    h = _hash(bc, cfg.log2_slots)
-    mask_c = jnp.int32(cfg.slots - 1)
-    slot = jnp.full(bc.shape[:-1], -1, dtype=jnp.int32)
-    for p in range(cfg.probes):
-        cand = (h + p) & mask_c
-        match = jnp.all(keys[cand] == bc, axis=-1)
-        slot = jnp.where((slot < 0) & match, cand, slot)
-    return slot
+    """Slot of each queried block coord, or -1 if absent. bc (...,3) any batch shape."""
+    shape = bc.shape[:-1]
+    bc_flat = bc.reshape(-1, 3)
+    h = _hash(bc_flat, cfg.log2_slots)
+    win = _key_windows(keys, h, cfg)  # (N,P,3)
+    match = jnp.all(win == bc_flat[:, None, :], axis=-1)  # (N,P)
+    p_idx = jnp.argmax(match, axis=-1)  # first match
+    found = jnp.any(match, axis=-1)
+    slot = jnp.where(found, h + p_idx, -1)
+    return slot.reshape(shape)
 
 
 def _first_empty(keys: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
     """First empty probe slot for each block coord, or -1 if the chain is full."""
-    h = _hash(bc, cfg.log2_slots)
-    mask_c = jnp.int32(cfg.slots - 1)
-    slot = jnp.full(bc.shape[:-1], -1, dtype=jnp.int32)
-    for p in range(cfg.probes):
-        cand = (h + p) & mask_c
-        is_empty = keys[cand, 0] == EMPTY_KEY
-        slot = jnp.where((slot < 0) & is_empty, cand, slot)
-    return slot
+    bc_flat = bc.reshape(-1, 3)
+    h = _hash(bc_flat, cfg.log2_slots)
+    win = _key_windows(keys, h, cfg)
+    is_empty = win[..., 0] == EMPTY_KEY  # (N,P)
+    p_idx = jnp.argmax(is_empty, axis=-1)
+    found = jnp.any(is_empty, axis=-1)
+    return jnp.where(found, h + p_idx, -1).reshape(bc.shape[:-1])
 
 
 def insert(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray, cfg: MapConfig) -> HashVoxelMap:
@@ -119,10 +140,12 @@ def insert(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray, cfg: MapConfig)
     ikd-Tree's on-insert filtering). New blocks claim hash slots over
     `claim_rounds` conflict-resolution rounds: concurrent claimers of the same
     empty slot are serialized by a scatter-min of point index; losers retry on
-    the next round against the updated table.
+    the next round against the updated table. Points whose probe chain is full
+    are dropped (bounded lossiness, mirroring the reference's queue drains).
     """
     N = xyz.shape[0]
-    C, B = m.capacity, m.bucket
+    B = m.bucket
+    dump = m.n_rows - 1
     bc, sub_id = block_coords(xyz, cfg)
     pt_idx = jnp.arange(N, dtype=jnp.int32)
 
@@ -132,33 +155,33 @@ def insert(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray, cfg: MapConfig)
         need = mask & (slot < 0)
         cand = _first_empty(keys, bc, cfg)
         attempt = need & (cand >= 0)
-        cand_safe = jnp.where(attempt, cand, C)  # dump row
-        claim = jnp.full((C + 1,), N, dtype=jnp.int32).at[cand_safe].min(
+        cand_safe = jnp.where(attempt, cand, dump)
+        claim = jnp.full((m.n_rows,), N, dtype=jnp.int32).at[cand_safe].min(
             jnp.where(attempt, pt_idx, N)
         )
         winner = attempt & (claim[cand_safe] == pt_idx)
-        keys = keys.at[jnp.where(winner, cand, C)].set(
-            jnp.where(winner[:, None], bc, keys[C])
+        keys = keys.at[jnp.where(winner, cand, dump)].set(
+            jnp.where(winner[:, None], bc, keys[dump])
         )
 
     slot = lookup(keys, bc, cfg)
     placed = mask & (slot >= 0)
-    flat = jnp.where(placed, slot * B + sub_id, C * B)
+    flat = jnp.where(placed, slot * B + sub_id, dump * B)
     # first-wins within a pre-existing map; among same-batch duplicates the
     # lowest point index wins (scatter-min), keeping insertion deterministic.
     occupied_before = m.occ.reshape(-1)[flat]
     writeable = placed & ~occupied_before
-    flat_w = jnp.where(writeable, flat, C * B)
-    owner = jnp.full((C + 1) * B, N, dtype=jnp.int32).at[flat_w].min(
+    flat_w = jnp.where(writeable, flat, dump * B)
+    owner = jnp.full(m.n_rows * B, N, dtype=jnp.int32).at[flat_w].min(
         jnp.where(writeable, pt_idx, N)
     )
     is_owner = writeable & (owner[flat_w] == pt_idx)
-    flat_final = jnp.where(is_owner, flat, C * B)
+    flat_final = jnp.where(is_owner, flat, dump * B)
     points = m.points.reshape(-1, 3).at[flat_final].set(
         jnp.where(is_owner[:, None], xyz, 0.0)
     )
     occ = m.occ.reshape(-1).at[flat_final].set(is_owner | m.occ.reshape(-1)[flat_final])
-    return HashVoxelMap(keys, points.reshape(C + 1, B, 3), occ.reshape(C + 1, B))
+    return HashVoxelMap(keys, points.reshape(m.n_rows, B, 3), occ.reshape(m.n_rows, B))
 
 
 def delete_outside_box(m: HashVoxelMap, lo: jnp.ndarray, hi: jnp.ndarray,

@@ -3,13 +3,18 @@
 Replaces every `nearestKSearch` / `Nearest_Search` call in the reference
 (A-LOAM laserOdometry.cpp:345, laserMapping.cpp:645/721; LIO-SAM
 mapOptmization.cpp:1319; S-FAST_LIO esekfom.hpp:141 via ikd-Tree). Instead of
-per-point tree descent, every query gathers the 27 neighboring blocks (a
-3x3x3 block neighborhood — with block size >= 2x the association gate this is
-a superset of any in-gate neighbor) and takes a top-k over the candidates.
+per-point tree descent, every query gathers neighboring blocks and takes a
+top-k over the candidates — dense, branch-free, VPU-shaped work.
 
-One query = one contiguous (27, B, 3) gather + a (27*B,) top-k: dense,
-branch-free, ideal for the VPU. `knn_brute` is the exact reference oracle used
-by the parity tests.
+Two neighborhood modes (MapConfig.neighborhood):
+* "octant8": the 2x2x2 block set nearest the query (chosen per-axis by which
+  half of its block the query falls in). Guaranteed coverage radius =
+  block_size/2, so configure block_size >= 2x the association gate. 3.4x
+  fewer gathers than full27 — the production mode.
+* "full27": the 3x3x3 neighborhood; coverage radius = block_size. Used by the
+  small-world test configs.
+
+`knn_brute` is the exact oracle used by the parity tests.
 """
 
 from __future__ import annotations
@@ -22,10 +27,15 @@ import jax.numpy as jnp
 from ..config import MapConfig
 from ..map.hash_map import HashVoxelMap, block_coords, lookup
 
-_OFFSETS = jnp.asarray(
+_OFFSETS27 = jnp.asarray(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
     dtype=jnp.int32,
 )  # (27,3)
+
+# octant corners: which of {0, o} to take per axis (o = +-1 chosen per query)
+_OCT_CORNERS = jnp.asarray(
+    [[cx, cy, cz] for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)], dtype=jnp.int32
+)  # (8,3) in {0,1}
 
 _BIG = jnp.float32(1e30)
 
@@ -38,21 +48,33 @@ class KnnResult(NamedTuple):
     valid: jnp.ndarray
 
 
+def _neighbor_blocks(queries: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
+    """(N,3) block coords -> (N,M,3) neighbor block coords to search."""
+    if cfg.neighborhood == "full27":
+        return bc[:, None, :] + _OFFSETS27[None, :, :]
+    # octant8: offset sign per axis from the query's position within its block
+    frac = queries / cfg.block_size - bc.astype(queries.dtype)
+    sign = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)  # (N,3)
+    return bc[:, None, :] + _OCT_CORNERS[None, :, :] * sign[:, None, :]
+
+
 def knn(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray, k: int,
         cfg: MapConfig) -> KnnResult:
     """k nearest map points for each query. queries (N,3), qmask (N,)."""
-    C, B = m.capacity, m.bucket
-    bc, _ = block_coords(queries, cfg)  # (N,3)
-    nbr = bc[:, None, :] + _OFFSETS[None, :, :]  # (N,27,3)
-    slot = lookup(m.keys, nbr, cfg)  # (N,27)
-    slot_safe = jnp.where(slot >= 0, slot, C)  # dump row is all-unoccupied? no:
-    # row C of occ is scatter trash — mask by slot validity explicitly below.
-    pts = m.points[slot_safe]  # (N,27,B,3) contiguous block rows
-    occ = m.occ[slot_safe] & (slot >= 0)[..., None]  # (N,27,B)
+    bc, _ = block_coords(queries, cfg)
+    nbr = _neighbor_blocks(queries, bc, cfg)  # (N,M,3)
+    slot = lookup(m.keys, nbr, cfg)  # (N,M)
+    dump = m.n_rows - 1
+    slot_safe = jnp.where(slot >= 0, slot, dump)
+    pts = m.points[slot_safe]  # (N,M,B,3) contiguous block rows
+    occ = m.occ[slot_safe] & (slot >= 0)[..., None]  # (N,M,B)
     d2 = jnp.sum((pts - queries[:, None, None, :]) ** 2, axis=-1)
     d2 = jnp.where(occ & qmask[:, None, None], d2, _BIG)
     d2f = d2.reshape(d2.shape[0], -1)
-    neg, idx = jax.lax.top_k(-d2f, k)
+    if cfg.approx_topk:
+        neg, idx = jax.lax.approx_max_k(-d2f, k)
+    else:
+        neg, idx = jax.lax.top_k(-d2f, k)
     nn_pts = jnp.take_along_axis(pts.reshape(pts.shape[0], -1, 3), idx[..., None], axis=1)
     sq = -neg
     return KnnResult(nn_pts, sq, sq < _BIG * 0.5)

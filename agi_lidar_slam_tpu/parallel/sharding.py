@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import PipelineConfig
-from ..estimators.gn_scan2map import GnStats, build_normal_equations, solve_delta
+from ..estimators.gn_scan2map import GnStats, associate, normal_equations, solve_delta
 from ..geometry import se3
 from ..map.hash_map import HashVoxelMap
 from ..pointcloud.cloud import PointBatch
@@ -77,26 +77,33 @@ def sharded_gn_solve(
     def run(pose0, corners_parts, surfs_parts, cmap, smap):
         corners = PointBatch(*corners_parts)
         surfs = PointBatch(*surfs_parts)
+        scfg = cfg.solver
 
-        def body(_, carry):
+        def outer(_, carry):
             pose, _ = carry
-            H, g, (n_c, n_s, sq, n_rows) = build_normal_equations(
-                pose, corners, surfs, cmap, smap,
-                cfg.corner_map, cfg.surf_map, cfg.solver,
-            )
-            H = jax.lax.psum(H, "dp")
-            g = jax.lax.psum(g, "dp")
-            n_c = jax.lax.psum(n_c, "dp")
-            n_s = jax.lax.psum(n_s, "dp")
-            sq = jax.lax.psum(sq, "dp")
-            n_rows = jax.lax.psum(n_rows, "dp")
-            delta, degen = solve_delta(H, g, cfg.solver)
-            pose = se3.boxplus(pose, delta)
-            rms = jnp.sqrt(sq / jnp.maximum(n_rows, 1.0))
-            return pose, GnStats(n_c, n_s, rms, degen)
+            corr = associate(pose, corners, surfs, cmap, smap,
+                             cfg.corner_map, cfg.surf_map, scfg)
+
+            def inner(_, carry2):
+                pose, _ = carry2
+                H, g, (n_c, n_s, sq, n_rows) = normal_equations(
+                    pose, corners, surfs, corr, scfg
+                )
+                H = jax.lax.psum(H, "dp")
+                g = jax.lax.psum(g, "dp")
+                n_c = jax.lax.psum(n_c, "dp")
+                n_s = jax.lax.psum(n_s, "dp")
+                sq = jax.lax.psum(sq, "dp")
+                n_rows = jax.lax.psum(n_rows, "dp")
+                delta, degen = solve_delta(H, g, scfg)
+                pose = se3.boxplus(pose, delta)
+                rms = jnp.sqrt(sq / jnp.maximum(n_rows, 1.0))
+                return pose, GnStats(n_c, n_s, rms, degen)
+
+            return jax.lax.fori_loop(0, scfg.n_inner, inner, carry)
 
         init = (pose0, GnStats(jnp.int32(0), jnp.int32(0), jnp.float32(0.0), jnp.bool_(False)))
-        return jax.lax.fori_loop(0, cfg.solver.n_iters, body, init)
+        return jax.lax.fori_loop(0, scfg.n_outer, outer, init)
 
     return run(pose0, tuple(corners), tuple(surfs), corner_map, surf_map)
 

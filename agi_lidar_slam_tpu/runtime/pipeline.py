@@ -61,7 +61,7 @@ def deskew_constant_velocity(scan: ScanGrid, rel: se3.Pose) -> ScanGrid:
     return ScanGrid(xyz, scan.mask, scan.time)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def process_scan(
     state: EngineState, scan: ScanGrid, cfg: PipelineConfig
 ) -> Tuple[EngineState, ScanResult]:

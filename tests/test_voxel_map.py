@@ -119,20 +119,29 @@ class TestHashMap:
 
 
 class TestKnn:
-    def test_knn_matches_brute_force_within_gate(self):
+    @pytest.mark.parametrize("mode", ["full27", "octant8"])
+    def test_knn_matches_brute_force_within_gate(self, mode):
+        # octant8 only guarantees block_size/2 coverage, so use a finer
+        # sub-voxel + denser cloud to make 5-NN-within-radius queries common
+        sub = 0.5 if mode == "full27" else 0.25
+        cfg = MapConfig(log2_slots=13, sub_voxel=sub, block_sub=2 if mode == "full27" else 4,
+                        probes=8, claim_rounds=8, neighborhood=mode)
         key = jax.random.PRNGKey(1)
-        ref = jax.random.uniform(key, (6000, 3), minval=-5.0, maxval=5.0)
-        m = empty_map(CFG)
-        m = insert(m, ref, jnp.ones(ref.shape[0], dtype=bool), CFG)
+        n_ref = 6000 if mode == "full27" else 12000
+        ref = jax.random.uniform(key, (n_ref, 3), minval=-5.0, maxval=5.0)
+        m = empty_map(cfg)
+        m = insert(m, ref, jnp.ones(n_ref, dtype=bool), cfg)
         mp = map_points(m)
         queries = jax.random.uniform(jax.random.PRNGKey(2), (256, 3), minval=-4.0, maxval=4.0)
         k = 5
-        res = knn(m, queries, jnp.ones(256, dtype=bool), k, CFG)
+        res = knn(m, queries, jnp.ones(256, dtype=bool), k, cfg)
         brute = knn_brute(jnp.asarray(mp), jnp.ones(mp.shape[0], dtype=bool), queries, k)
         # wherever all brute-force neighbors lie within the guaranteed coverage
-        # radius (one block size), the hashed-map KNN must agree exactly
-        guaranteed = np.asarray(brute.sq_dists[:, k - 1]) < CFG.block_size**2
-        assert guaranteed.sum() > 50  # test is meaningful
+        # radius (block_size for full27, block_size/2 for octant8), the
+        # hashed-map KNN must agree exactly
+        radius = cfg.block_size if mode == "full27" else cfg.block_size / 2
+        guaranteed = np.asarray(brute.sq_dists[:, k - 1]) < radius**2
+        assert guaranteed.sum() > 30  # test is meaningful
         got = np.sort(np.asarray(res.sq_dists), axis=1)[guaranteed]
         want = np.sort(np.asarray(brute.sq_dists), axis=1)[guaranteed]
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
