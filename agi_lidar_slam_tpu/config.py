@@ -31,6 +31,7 @@ class FeatureConfig:
     max_surfs: int = 8192
     min_range: float = 0.3  # blind-zone removal
     max_range: float = 120.0
+    segmentation: bool = False  # LeGO-LOAM ground removal + cluster filtering
 
 
 @dataclass(frozen=True)
@@ -65,8 +66,8 @@ class SolverConfig:
     """Scan-to-map Gauss-Newton (A-LOAM laserMapping.cpp:637-817, LIO-SAM
     LMOptimization :1552-1700)."""
 
-    n_outer: int = 3  # association passes (reference: A-LOAM 2, LIO-SAM ~30)
-    n_inner: int = 3  # GN re-linearizations per association (A-LOAM: 4 LM iters)
+    n_outer: int = 2  # association passes (reference: A-LOAM 2, LIO-SAM ~30)
+    n_inner: int = 4  # GN re-linearizations per association (A-LOAM: 4 LM iters)
     k_neighbors: int = 5
     corner_gate_sq: float = 1.0  # max sq dist of k-th corner neighbor (m^2)
     surf_gate_sq: float = 1.0
@@ -89,6 +90,7 @@ class PipelineConfig:
     corner_ds_voxel: float = 0.4
     surf_ds_voxel: float = 0.8
     deskew: bool = True  # constant-velocity deskew (A-LOAM DISTORTION flag)
+    two_step: bool = False  # LeGO two-step GN (surf->z/roll/pitch, corner->x/y/yaw)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -115,7 +117,29 @@ def preset_sim16() -> PipelineConfig:
                              neighborhood="full27"),
         surf_map=MapConfig(sub_voxel=0.5, block_sub=2, log2_slots=15,
                            neighborhood="full27"),
-        solver=SolverConfig(n_outer=3, n_inner=2),
+        # 16-beam data is ~8x sparser than HDL-64: more re-association passes
+        # (fast yaw rates move far points beyond the gate) and a degeneracy
+        # threshold scaled to the lower correspondence counts
+        solver=SolverConfig(n_outer=5, n_inner=2, degen_eig_thresh=10.0),
         corner_ds_voxel=0.2,
         surf_ds_voxel=0.4,
+    )
+
+
+def preset_lego_vlp16() -> PipelineConfig:
+    """LeGO-LOAM on VLP-16 (utility.h:50-103: 16x1800 image, ground removal,
+    cluster segmentation, two-step optimization)."""
+    return PipelineConfig(
+        features=FeatureConfig(
+            corners_per_sector=8, max_corners=1024, max_surfs=4096,
+            surf_voxel=0.4, segmentation=True,
+        ),
+        corner_map=MapConfig(sub_voxel=0.25, block_sub=4, log2_slots=15,
+                             neighborhood="full27"),
+        surf_map=MapConfig(sub_voxel=0.4, block_sub=2, log2_slots=16,
+                           neighborhood="full27"),
+        solver=SolverConfig(n_outer=4, n_inner=3, degen_eig_thresh=10.0),
+        corner_ds_voxel=0.2,
+        surf_ds_voxel=0.4,
+        two_step=True,
     )

@@ -84,11 +84,24 @@ def extract_features(scan: ScanGrid, cfg: FeatureConfig) -> ScanFeatures:
     c, valid = curvature(scan, cfg)
     valid = valid & ~occlusion_mask(scan, cfg)
 
+    if cfg.segmentation:
+        # LeGO-LOAM mode: corners only from valid (big) clusters; planar
+        # candidates from ground + clusters (featureAssociation consumes the
+        # segmented cloud + ground flags from imageProjection)
+        from .segmentation import segment_scan
+
+        seg = segment_scan(scan)
+        corner_allowed = seg.segmented & ~seg.ground
+        surf_allowed = seg.segmented | seg.ground
+    else:
+        corner_allowed = jnp.ones_like(valid)
+        surf_allowed = jnp.ones_like(valid)
+
     # --- corners: local-max over +-nms_window, then per-sector top-k ---------
     cmax = c
     for j in range(1, cfg.nms_window + 1):
         cmax = jnp.maximum(cmax, jnp.maximum(jnp.roll(c, j, axis=1), jnp.roll(c, -j, axis=1)))
-    corner_cand = valid & (c > cfg.corner_thresh) & (c >= cmax)
+    corner_cand = valid & corner_allowed & (c > cfg.corner_thresh) & (c >= cmax)
 
     score = jnp.where(corner_cand, c, -1.0)[:, : S * Ws].reshape(R, S, Ws)
     top, idx = jax.lax.top_k(score, k)  # (R,S,k)
@@ -102,7 +115,7 @@ def extract_features(scan: ScanGrid, cfg: FeatureConfig) -> ScanFeatures:
     ].set(corner_mask)
 
     # --- surfs: low-curvature, not corner-picked, voxel downsampled ----------
-    surf_cand = valid & (c < cfg.surf_thresh) & ~picked
+    surf_cand = valid & surf_allowed & (c < cfg.surf_thresh) & ~picked
     surfs = voxel_downsample(
         scan.xyz.reshape(-1, 3), surf_cand.reshape(-1), cfg.surf_voxel, cfg.max_surfs
     )

@@ -100,13 +100,13 @@ def block_coords(xyz: jnp.ndarray, cfg: MapConfig) -> Tuple[jnp.ndarray, jnp.nda
 
 def _key_windows(keys: jnp.ndarray, h: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
     """Gather the (probes, 3) probe window for each hash. h (N,) -> (N, P, 3).
-    One window gather per query instead of `probes` scattered row gathers."""
-    P = cfg.probes
 
-    def win(i):
-        return jax.lax.dynamic_slice(keys, (i, 0), (P, 3))
-
-    return jax.vmap(win)(h)
+    Implemented as one advanced-index gather with an (N, P) index matrix: XLA
+    lowers this to a single native gather. (A vmapped dynamic_slice looks
+    equivalent but lowers to an N-iteration while loop — 3 orders of magnitude
+    slower on TPU.)"""
+    idx = h[:, None] + jnp.arange(cfg.probes, dtype=jnp.int32)[None, :]
+    return keys[idx]
 
 
 def lookup(keys: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
@@ -149,8 +149,8 @@ def insert(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray, cfg: MapConfig)
     bc, sub_id = block_coords(xyz, cfg)
     pt_idx = jnp.arange(N, dtype=jnp.int32)
 
-    keys = m.keys
-    for _ in range(cfg.claim_rounds):
+    def claim_round(carry):
+        keys, _, rnd = carry
         slot = lookup(keys, bc, cfg)
         need = mask & (slot < 0)
         cand = _first_empty(keys, bc, cfg)
@@ -163,6 +163,17 @@ def insert(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray, cfg: MapConfig)
         keys = keys.at[jnp.where(winner, cand, dump)].set(
             jnp.where(winner[:, None], bc, keys[dump])
         )
+        # losers (attempted, lost the scatter-min) retry next round
+        unresolved = jnp.any(attempt & ~winner)
+        return keys, unresolved, rnd + 1
+
+    # steady-state scans insert into mostly-existing blocks: exit as soon as a
+    # round resolves every pending claim instead of always paying claim_rounds
+    keys, _, _ = jax.lax.while_loop(
+        lambda c: c[1] & (c[2] < cfg.claim_rounds),
+        claim_round,
+        claim_round((m.keys, jnp.bool_(True), jnp.int32(0))),
+    )
 
     slot = lookup(keys, bc, cfg)
     placed = mask & (slot >= 0)

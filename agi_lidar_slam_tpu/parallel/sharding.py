@@ -149,4 +149,4 @@ def sharded_scan_step(mesh: Mesh, state, scan, cfg: PipelineConfig):
     smap = insert(state.surf_map, surfs.xyz @ R.T + pose_opt.t, surfs.mask,
                   cfg.surf_map)
     new_state = EngineState(pose_opt, state.pose, cmap, smap, state.frame + 1)
-    return new_state, ScanResult(pose_opt, stats)
+    return new_state, ScanResult(pose_opt, stats, corners, surfs)

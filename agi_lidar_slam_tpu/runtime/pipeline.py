@@ -21,10 +21,11 @@ import jax.numpy as jnp
 
 from ..config import PipelineConfig
 from ..estimators.gn_scan2map import GnStats, solve_scan2map
+from ..estimators.two_step import solve_scan2map_two_step
 from ..features.curvature import extract_features
 from ..geometry import se3, so3
 from ..map.hash_map import HashVoxelMap, empty_map, insert
-from ..pointcloud.cloud import ScanGrid
+from ..pointcloud.cloud import PointBatch, ScanGrid
 from ..pointcloud.voxel import voxel_downsample
 
 
@@ -39,6 +40,8 @@ class EngineState(NamedTuple):
 class ScanResult(NamedTuple):
     pose: se3.Pose
     stats: GnStats
+    corners: "PointBatch"  # downsampled sensor-frame features of this scan
+    surfs: "PointBatch"
 
 
 def init_state(cfg: PipelineConfig) -> EngineState:
@@ -83,7 +86,8 @@ def process_scan(
     # On an empty map (first frames) every eigenvalue of H is below the
     # degeneracy threshold, so the solver is a no-op and the pose stays at the
     # prediction — no special first-frame branch needed.
-    pose_opt, stats = solve_scan2map(
+    solver_fn = solve_scan2map_two_step if cfg.two_step else solve_scan2map
+    pose_opt, stats = solver_fn(
         pred, corners, surfs, state.corner_map, state.surf_map,
         cfg.corner_map, cfg.surf_map, cfg.solver,
     )
@@ -95,7 +99,7 @@ def process_scan(
                   cfg.surf_map)
 
     new_state = EngineState(pose_opt, state.pose, cmap, smap, state.frame + 1)
-    return new_state, ScanResult(pose_opt, stats)
+    return new_state, ScanResult(pose_opt, stats, corners, surfs)
 
 
 def run_sequence(scans, cfg: PipelineConfig, state: EngineState | None = None):

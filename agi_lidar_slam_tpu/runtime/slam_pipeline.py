@@ -1,0 +1,188 @@
+"""Full SLAM engine: odometry + keyframe pose graph + loop closure + GPS.
+
+The LIO-SAM configuration (SURVEY.md sections 2.3/3.2) re-architected:
+where the reference runs mapOptmization + a 1 Hz loopClosureThread + iSAM2,
+this engine runs
+
+* the per-scan odometry step (runtime/pipeline.process_scan — one jitted
+  program),
+* a keyframe gate + odometry BetweenFactor after each scan,
+* a periodic loop-closure step (detect -> batched ICP via the same scan-to-map
+  GN -> loop edge -> full pose-graph GN re-solve -> correctPoses + global map
+  REBUILD from the corrected keyframe bank).
+
+The map rebuild replaces LIO-SAM's per-frame submap re-assembly from keyframe
+clouds (extractNearby/laserCloudMapContainer, mapOptmization.cpp:1152-1251):
+between loop closures the rolling hashed map serves odometry; on a closure the
+map is regenerated from the bank in one batched insert — the functional-array
+analog of correctPoses (:2087-2127).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig, preset_aloam_kitti64
+from ..geometry import se3, so3
+from ..graph.keyframes import KeyframeBank, add_keyframe, empty_bank, should_add
+from ..graph.loop_closure import LoopConfig, align_loop, detect_loop
+from ..graph.pose_graph import EdgeSet, add_edge, between_measurement, empty_edges, solve_pose_graph
+from ..map.hash_map import empty_map, insert
+from ..pointcloud.cloud import ScanGrid
+from .pipeline import EngineState, ScanResult, init_state, process_scan
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    pipeline: PipelineConfig = preset_aloam_kitti64()
+    bank_capacity: int = 1024
+    edge_capacity: int = 2048
+    kf_dist: float = 1.0  # surroundingkeyframeAddingDistThreshold
+    kf_angle: float = 0.2  # surroundingkeyframeAddingAngleThreshold
+    odom_w_rot: float = 1e4  # odometryNoise analog (1/sigma^2)
+    odom_w_trans: float = 1e4
+    loop_w_rot: float = 1e4
+    loop_w_trans: float = 1e4
+    gps_w_trans: float = 1.0
+    loop: LoopConfig = LoopConfig()
+    loop_every: int = 10  # host cadence of loop-closure attempts (scans)
+    graph_gn_iters: int = 6
+
+
+class SlamState(NamedTuple):
+    engine: EngineState
+    bank: KeyframeBank
+    edges: EdgeSet
+    last_kf_idx: jnp.ndarray  # () int32 index of the previous keyframe
+
+
+class SlamStepResult(NamedTuple):
+    pose: se3.Pose
+    added_keyframe: jnp.ndarray
+
+
+def init_slam(cfg: SlamConfig) -> SlamState:
+    f = cfg.pipeline.features
+    return SlamState(
+        engine=init_state(cfg.pipeline),
+        bank=empty_bank(cfg.bank_capacity, f.max_corners, f.max_surfs),
+        edges=empty_edges(cfg.edge_capacity),
+        last_kf_idx=jnp.int32(0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("bank", "edges"))
+def _keyframe_step(
+    bank: KeyframeBank,
+    edges: EdgeSet,
+    last_kf_idx: jnp.ndarray,
+    res: ScanResult,
+    frame: jnp.ndarray,
+    cfg: SlamConfig,
+):
+    do_add = should_add(bank, res.pose, cfg.kf_dist, cfg.kf_angle)
+    prev_idx = jnp.maximum(bank.count - 1, 0)
+    prev_pose = se3.Pose(bank.q[prev_idx], bank.t[prev_idx])
+    had_prev = bank.count > 0
+    bank2, idx = add_keyframe(bank, res.pose, res.corners, res.surfs, frame, do_add)
+    z = between_measurement(prev_pose, res.pose)
+    edges2 = add_edge(
+        edges, prev_idx, idx, z, cfg.odom_w_rot, cfg.odom_w_trans, kind=0,
+        do_add=do_add & had_prev,
+    )
+    new_last = jnp.where(do_add, idx, last_kf_idx)
+    return bank2, edges2, new_last, do_add
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _loop_step(bank: KeyframeBank, edges: EdgeSet, cfg: SlamConfig):
+    """Detect + align + (conditionally) add a loop edge. Returns
+    (edges, found&ok, cand_idx, fitness)."""
+    cur = jnp.maximum(bank.count - 1, 0)
+    cand, found = detect_loop(bank, cur, cfg.loop)
+    z, fitness, ok = align_loop(bank, cur, cand, cfg.loop)
+    accept = found & ok
+    edges2 = add_edge(edges, cand, cur, z, cfg.loop_w_rot, cfg.loop_w_trans,
+                      kind=0, do_add=accept)
+    return edges2, accept, cand, fitness
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("bank",))
+def _correct_and_rebuild(bank: KeyframeBank, edges: EdgeSet, engine: EngineState,
+                         cfg: SlamConfig):
+    """Pose-graph solve + correctPoses + global map rebuild from the bank."""
+    new_poses = solve_pose_graph(bank.poses(), bank.count, edges,
+                                 n_gn_iters=cfg.graph_gn_iters)
+    # delta applied to the engine's current pose: follow the last keyframe
+    last = jnp.maximum(bank.count - 1, 0)
+    old_last = se3.Pose(bank.q[last], bank.t[last])
+    new_last = se3.Pose(new_poses.q[last], new_poses.t[last])
+    correction = se3.compose(new_last, se3.inverse(old_last))
+    bank2 = bank._replace(q=new_poses.q, t=new_poses.t)
+
+    # rebuild both maps from corrected keyframe clouds (batched insert)
+    K = bank2.capacity
+    live = (jnp.arange(K) < bank2.count)[:, None]
+    R = so3.quat_to_matrix(bank2.q)
+    cw = jnp.einsum("kij,knj->kni", R, bank2.corner_xyz) + bank2.t[:, None, :]
+    sw = jnp.einsum("kij,knj->kni", R, bank2.surf_xyz) + bank2.t[:, None, :]
+    cmap = insert(empty_map(cfg.pipeline.corner_map), cw.reshape(-1, 3),
+                  (bank2.corner_mask & live).reshape(-1), cfg.pipeline.corner_map)
+    smap = insert(empty_map(cfg.pipeline.surf_map), sw.reshape(-1, 3),
+                  (bank2.surf_mask & live).reshape(-1), cfg.pipeline.surf_map)
+
+    pose_c = se3.compose(correction, engine.pose)
+    prev_c = se3.compose(correction, engine.prev_pose)
+    engine2 = EngineState(pose_c, prev_c, cmap, smap, engine.frame)
+    return bank2, engine2
+
+
+class SlamDriver:
+    """Host driver: streams scans, runs the loop-closure step on a cadence
+    (the reference's 1 Hz loopClosureThread), applies corrections."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.state = init_slam(cfg)
+        self.n_loops_closed = 0
+
+    def process(self, scan: ScanGrid,
+                gps: Optional[jnp.ndarray] = None) -> ScanResult:
+        cfg = self.cfg
+        st = self.state
+        engine, res = process_scan(st.engine, scan, cfg.pipeline)
+        bank, edges, last_kf, added = _keyframe_step(
+            st.bank, st.edges, st.last_kf_idx, res, engine.frame, cfg
+        )
+        if gps is not None and bool(added):
+            idx = jnp.maximum(bank.count - 1, 0)
+            edges = add_edge(edges, idx, idx,
+                             se3.Pose(so3.quat_identity(), jnp.asarray(gps)),
+                             0.0, cfg.gps_w_trans, kind=1, do_add=True)
+        self.state = SlamState(engine, bank, edges, last_kf)
+
+        frame = int(engine.frame)
+        if frame % cfg.loop_every == 0 and int(bank.count) > 3:
+            self._try_close_loop()
+        return res
+
+    def _try_close_loop(self):
+        cfg, st = self.cfg, self.state
+        edges2, accept, cand, fitness = _loop_step(st.bank, st.edges, cfg)
+        if bool(accept):
+            bank2, engine2 = _correct_and_rebuild(st.bank, edges2, st.engine, cfg)
+            self.state = SlamState(engine2, bank2, edges2, st.last_kf_idx)
+            self.n_loops_closed += 1
+        else:
+            self.state = st._replace(edges=edges2)
+
+    def trajectory(self):
+        import numpy as np
+
+        n = int(self.state.bank.count)
+        return np.asarray(self.state.bank.t[:n])
