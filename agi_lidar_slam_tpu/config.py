@@ -46,7 +46,6 @@ class MapConfig:
     claim_rounds: int = 8  # insert conflict-resolution rounds
     neighborhood: str = "octant8"  # KNN block set: "octant8" (coverage =
     # block_size/2, fast) or "full27" (coverage = block_size)
-    approx_topk: bool = False  # use TPU approx_max_k in KNN selection
 
     @property
     def slots(self) -> int:

@@ -55,7 +55,8 @@ def main():
     # warmup: compile + populate the map so the steady-state step is realistic
     for s in scans[:3]:
         state, res = process_scan(state, s, cfg)
-    jax.block_until_ready(res.pose.t)
+    float(res.pose.t[0])  # device fetch = true sync (block_until_ready is not
+    # a reliable barrier on tunneled PJRT backends)
 
     n_reps = 5
     n = 0
@@ -64,7 +65,9 @@ def main():
         for s in scans[3:]:
             state, res = process_scan(state, s, cfg)
             n += 1
-    jax.block_until_ready(res.pose.t)
+    # the engine state chains scan-to-scan, so fetching the last pose forces
+    # completion of every timed step
+    float(res.pose.t[0])
     dt = time.perf_counter() - t0
 
     scans_per_s = n / dt

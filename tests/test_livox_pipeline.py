@@ -1,0 +1,89 @@
+"""LIO-Livox configuration: dynamic removal + windowed MAP LIO driver."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agi_lidar_slam_tpu.config import FeatureConfig, MapConfig, SolverConfig
+from agi_lidar_slam_tpu.features.dynamic_removal import DynamicRemovalConfig, remove_dynamic
+from agi_lidar_slam_tpu.geometry import se3, so3
+from agi_lidar_slam_tpu.runtime.lio_pipeline import ImuWindow
+from agi_lidar_slam_tpu.runtime.livox_pipeline import (
+    LivoxConfig,
+    init_livox_state,
+    process_livox_scan,
+)
+from agi_lidar_slam_tpu.sim.trajectory import circle_imu, circle_pose, circle_velocity
+from agi_lidar_slam_tpu.sim.world import BoxWorld, default_world, simulate_scan
+
+RADIUS, OMEGA, DT, M = 6.0, 0.25, 0.2, 20
+
+CFG = LivoxConfig(
+    features=FeatureConfig(corners_per_sector=8, max_corners=512, max_surfs=2048,
+                           surf_voxel=0.3),
+    corner_map=MapConfig(sub_voxel=0.25, block_sub=4, log2_slots=14,
+                         neighborhood="full27"),
+    surf_map=MapConfig(sub_voxel=0.5, block_sub=2, log2_slots=15,
+                       neighborhood="full27"),
+    solver=SolverConfig(n_outer=3, n_inner=2, degen_eig_thresh=10.0),
+    corner_ds_voxel=0.2,
+    surf_ds_voxel=0.4,
+    use_dynamic_removal=False,  # arena has no movers; tested separately
+)
+
+
+class TestDynamicRemoval:
+    def test_small_object_removed_walls_kept(self):
+        world = default_world(seed=3)
+        # add a car-sized box in the open corridor ahead of the sensor
+        car_lo = jnp.asarray([[6.0, -1.0, -1.0]])
+        car_hi = jnp.asarray([[8.0, 1.0, 0.6]])
+        world2 = BoxWorld(jnp.concatenate([world.lo, car_lo]),
+                          jnp.concatenate([world.hi, car_hi]))
+        p = se3.Pose.identity()
+        scan = simulate_scan(world2, p, p, rings=16, width=900)
+        keep = remove_dynamic(scan, DynamicRemovalConfig(half_extent=24.0))
+        xyz = np.asarray(scan.xyz)
+        mask = np.asarray(scan.mask)
+        on_car = (
+            mask
+            & (xyz[..., 0] > 6.0) & (xyz[..., 0] < 8.0)
+            & (np.abs(xyz[..., 1]) < 1.0)
+            & (xyz[..., 2] > -0.8)
+        )
+        kept = np.asarray(keep)
+        assert on_car.sum() > 50
+        assert (kept & on_car).sum() < 0.2 * on_car.sum(), "car not removed"
+        # walls (tall background) survive
+        far_wall = mask & (np.abs(xyz[..., 0]) > 15.0) & (xyz[..., 2] > 0.5)
+        if far_wall.sum() > 0:
+            assert (kept & far_wall).sum() > 0.8 * far_wall.sum()
+
+
+class TestLivoxWindowLio:
+    def test_tracks_circle(self):
+        world = default_world(seed=7)
+        x0 = circle_pose(0.0, RADIUS, OMEGA)
+        state = init_livox_state(CFG, x0, v0=circle_velocity(0.0, RADIUS, OMEGA))
+        errs = []
+        for i in range(10):
+            t0, t1 = i * DT, (i + 1) * DT
+            p0, p1 = circle_pose(t0, RADIUS, OMEGA), circle_pose(t1, RADIUS, OMEGA)
+            # rigid scan at the sweep-end pose (the reference undistorts to the
+            # sweep end before estimation — RemoveLidarDistortion)
+            scan = simulate_scan(world, p1, p1, rings=16, width=720,
+                                 noise_std=0.005, seed=i)
+            ts = t0 + (jnp.arange(M) + 0.5) * (DT / M)
+            gy, ac = circle_imu(ts, RADIUS, OMEGA)
+            win = ImuWindow(gy, ac, jnp.full((M,), DT / M), jnp.ones((M,), bool))
+            state, res = process_livox_scan(state, scan, win, CFG)
+            errs.append(float(jnp.linalg.norm(res.pose.t - p1.t)))
+        assert errs[-1] < 0.25, errs
+        assert int(state.surf_map.num_points()) > 500
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
