@@ -42,8 +42,8 @@ class MapConfig:
     log2_slots: int = 18  # hash table has 2**log2_slots blocks
     sub_voxel: float = 0.4  # map resolution: at most one point per sub-voxel
     block_sub: int = 2  # sub-voxels per block edge (block = sub_voxel*block_sub)
-    probes: int = 8  # linear-probe length
-    claim_rounds: int = 8  # insert conflict-resolution rounds
+    probes: int = 4  # linear-probe length (keep table load <= 25%)
+    claim_rounds: int = 8  # insert conflict-resolution rounds (early-exit)
     neighborhood: str = "octant8"  # KNN block set: "octant8" (coverage =
     # block_size/2, fast) or "full27" (coverage = block_size)
 

@@ -58,12 +58,48 @@ def _neighbor_blocks(queries: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> j
     return bc[:, None, :] + _OCT_CORNERS[None, :, :] * sign[:, None, :]
 
 
+def _dedup_lookup(m: HashVoxelMap, nbr: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
+    """Slot lookup for (N,M,3) neighbor blocks with cross-query deduplication.
+
+    Nearby queries share neighbor blocks, so the N*M raw lookups hit only a
+    few thousand distinct blocks; probing each distinct block once cuts the
+    dominant random-gather row count ~10x. Distinct coords are found by
+    sorting packed 30-bit keys; the unique capacity is N (more distinct
+    blocks than queries is impossible for octant8 up to the 8x bound and
+    rare in practice — overflow entries fall back to 'absent').
+    """
+    N, M, _ = nbr.shape
+    # unique capacity: overlapping neighborhoods keep distinct-block counts
+    # well under N*M; 4N covers sparse query sets (e.g. scattered corners with
+    # 27-block neighborhoods) with margin. Overflow falls back to 'absent'.
+    U = min(N * M, 4 * N)
+    flat = nbr.reshape(-1, 3)
+    packed = (
+        (jnp.clip(flat[:, 0] + 512, 0, 1023) << 20)
+        | (jnp.clip(flat[:, 1] + 512, 0, 1023) << 10)
+        | jnp.clip(flat[:, 2] + 512, 0, 1023)
+    )
+    order = jnp.argsort(packed)
+    ps = packed[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), ps[1:] != ps[:-1]])
+    uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1  # (NM,)
+    ok_u = uid_sorted < U
+    # representative coords per unique id
+    ucoords = jnp.full((U + 1, 3), 2**20, jnp.int32).at[
+        jnp.where(first & ok_u, uid_sorted, U)
+    ].set(flat[order])
+    uslot = lookup(m.keys, ucoords[:U], cfg)  # (U,) probe only distinct blocks
+    slot_sorted = jnp.where(ok_u, uslot[jnp.minimum(uid_sorted, U - 1)], -1)
+    slot_flat = jnp.zeros((N * M,), jnp.int32).at[order].set(slot_sorted)
+    return slot_flat.reshape(N, M)
+
+
 def knn(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray, k: int,
         cfg: MapConfig) -> KnnResult:
     """k nearest map points for each query. queries (N,3), qmask (N,)."""
     bc, _ = block_coords(queries, cfg)
     nbr = _neighbor_blocks(queries, bc, cfg)  # (N,M,3)
-    slot = lookup(m.keys, nbr, cfg)  # (N,M)
+    slot = _dedup_lookup(m, nbr, cfg)  # (N,M)
     dump = m.n_rows - 1
     slot_safe = jnp.where(slot >= 0, slot, dump)
     pts = m.points[slot_safe]  # (N,M,B,3) contiguous block rows

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""SLAM run harness — the engine's replacement for the reference's launch
+files + kittiHelper + rosbag play (SURVEY.md section 4).
+
+Examples:
+  # KITTI sequence (uses the native C++ prefetching loader):
+  python tools/run_slam.py --kitti /data/kitti/sequences/00 --preset aloam \
+      --max-scans 500 --metrics /tmp/run.jsonl --save-map /tmp/maps
+
+  # built-in simulator (no dataset needed):
+  python tools/run_slam.py --sim --frames 40 --preset sim16
+
+Outputs the trajectory (KITTI pose format), ATE vs ground truth when
+available, and per-scan JSONL metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kitti", help="KITTI sequence dir (with velodyne/)")
+    ap.add_argument("--sim", action="store_true", help="run on the simulator")
+    ap.add_argument("--preset", default="aloam",
+                    choices=["aloam", "sim16", "lego"],
+                    help="engine configuration preset")
+    ap.add_argument("--frames", type=int, default=40, help="sim frames")
+    ap.add_argument("--max-scans", type=int, default=None)
+    ap.add_argument("--width", type=int, default=1800)
+    ap.add_argument("--metrics", help="JSONL metrics output path")
+    ap.add_argument("--save-map", help="directory for PCD map export")
+    ap.add_argument("--traj-out", help="trajectory output (KITTI format)")
+    ap.add_argument("--slam", action="store_true",
+                    help="full SLAM (keyframes + loop closure) instead of odometry")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from agi_lidar_slam_tpu.config import (preset_aloam_kitti64, preset_lego_vlp16,
+                                           preset_sim16)
+    from agi_lidar_slam_tpu.eval.metrics import ate_rmse
+    from agi_lidar_slam_tpu.geometry import se3, so3
+    from agi_lidar_slam_tpu.io.checkpoint import save_map_bundle
+    from agi_lidar_slam_tpu.runtime.metrics import MetricsWriter, StageTimer
+    from agi_lidar_slam_tpu.runtime.pipeline import init_state, process_scan
+
+    cfg = {"aloam": preset_aloam_kitti64, "sim16": preset_sim16,
+           "lego": preset_lego_vlp16}[args.preset]()
+
+    gt_positions = None
+    if args.kitti:
+        from agi_lidar_slam_tpu.io.kitti import scan_paths
+        from agi_lidar_slam_tpu.io.native_loader import NativeKittiLoader
+
+        paths = scan_paths(args.kitti)
+        if args.max_scans:
+            paths = paths[: args.max_scans]
+        scans = NativeKittiLoader(paths, rings=64, width=args.width)
+        seq = os.path.basename(os.path.normpath(args.kitti))
+        pose_file = os.path.join(os.path.dirname(os.path.dirname(args.kitti)),
+                                 "poses", f"{seq}.txt")
+        if os.path.exists(pose_file):
+            from agi_lidar_slam_tpu.io.kitti import load_poses
+
+            T = load_poses(pose_file, os.path.join(args.kitti, "calib.txt"))
+            gt_positions = T[: len(paths), :3, 3]
+    elif args.sim:
+        from agi_lidar_slam_tpu.sim.world import default_world, simulate_scan
+
+        world = default_world(seed=0)
+        q, t = so3.quat_identity(), jnp.zeros(3)
+        poses, scan_list = [], []
+        for i in range(args.frames):
+            p = se3.Pose(q, t)
+            q = so3.quat_normalize(so3.quat_mul(q, so3.quat_exp(jnp.asarray([0, 0, 0.03]))))
+            t = t + so3.quat_rotate(q, jnp.asarray([0.35, 0.0, 0.0]))
+            scan_list.append(
+                simulate_scan(world, p, se3.Pose(q, t), rings=16, width=900,
+                              noise_std=0.005, seed=i)
+            )
+            poses.append(p)
+        scans = scan_list
+        gt_positions = np.stack([np.asarray(p.t) for p in poses])
+        if args.preset == "aloam":
+            cfg = preset_sim16()
+    else:
+        ap.error("need --kitti or --sim")
+
+    metrics = MetricsWriter(args.metrics)
+    timer = StageTimer()
+    est = []
+
+    if args.slam:
+        from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig, SlamDriver
+
+        driver = SlamDriver(SlamConfig(pipeline=cfg))
+        n = 0
+        t_start = time.perf_counter()
+        for scan in scans:
+            t0 = time.perf_counter()
+            with timer.stage("scan"):
+                res = driver.process(scan)
+            est.append(np.asarray(res.pose.t))
+            metrics.log_scan(n, res, (time.perf_counter() - t0) * 1e3)
+            n += 1
+        state = driver.state.engine
+        print(f"loops closed: {driver.n_loops_closed}")
+    else:
+        state = init_state(cfg)
+        n = 0
+        t_start = time.perf_counter()
+        for scan in scans:
+            t0 = time.perf_counter()
+            with timer.stage("scan"):
+                state, res = process_scan(state, scan, cfg)
+            est.append(np.asarray(res.pose.t))
+            metrics.log_scan(n, res, (time.perf_counter() - t0) * 1e3)
+            n += 1
+
+    wall = time.perf_counter() - t_start
+    est = np.stack(est)
+    print(f"processed {n} scans in {wall:.2f}s ({n / wall:.2f} scans/s)")
+    print("stage timing:", timer.summary())
+    if gt_positions is not None and len(gt_positions) >= len(est):
+        err = ate_rmse(est, gt_positions[: len(est)])
+        err_na = ate_rmse(est, gt_positions[: len(est)], align=False)
+        print(f"ATE RMSE: {err:.3f} m (aligned), {err_na:.3f} m (raw)")
+    if args.traj_out:
+        from agi_lidar_slam_tpu.geometry import so3 as _so3
+
+        with open(args.traj_out, "w") as f:
+            for p in est:
+                M = np.eye(4)
+                M[:3, 3] = p
+                f.write(" ".join(f"{v:.6e}" for v in M[:3].reshape(-1)) + "\n")
+        print("trajectory written:", args.traj_out)
+    if args.save_map:
+        save_map_bundle(args.save_map, state, trajectory=est)
+        print("maps written:", args.save_map)
+    metrics.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
