@@ -90,6 +90,16 @@ class PipelineConfig:
     surf_ds_voxel: float = 0.8
     deskew: bool = True  # constant-velocity deskew (A-LOAM DISTORTION flag)
     two_step: bool = False  # LeGO two-step GN (surf->z/roll/pitch, corner->x/y/yaw)
+    # optional A-LOAM scan-to-scan odometry stage (laserOdometry.cpp:257-698):
+    # registers the new scan against the PREVIOUS scan's features to refine the
+    # constant-velocity prediction before scan-to-map
+    odometry_stage: bool = False
+    odom_map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=13,
+                                    neighborhood="full27")
+    odom_solver: SolverConfig = SolverConfig(
+        n_outer=2, n_inner=2, corner_gate_sq=4.0, surf_gate_sq=4.0,
+        degen_eig_thresh=10.0, plane_tol=0.3,
+    )
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

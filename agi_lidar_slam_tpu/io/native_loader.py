@@ -96,10 +96,12 @@ class NativeKittiLoader:
             )
             if idx < 0:
                 return
+            # explicit copies: jnp.asarray may alias the host buffer on the CPU
+            # backend, and self._xyz is overwritten by the next loader_next
             yield ScanGrid(
-                jnp.asarray(self._xyz),
+                jnp.asarray(self._xyz.copy()),
                 jnp.asarray(self._mask.astype(bool)),
-                jnp.asarray(self._time),
+                jnp.asarray(self._time.copy()),
             )
 
     def close(self):

@@ -69,7 +69,11 @@ class HashVoxelMap(NamedTuple):
 
 
 def empty_map(cfg: MapConfig) -> HashVoxelMap:
-    rows = cfg.slots + cfg.probes + 1
+    # rows = hashed range + probe overflow + dump, rounded up to a multiple of
+    # 256 so the slot axis shards evenly over any reasonable device mesh
+    # (parallel/map_shard.py); rows between slots+probes and the final dump
+    # row are simply never probed
+    rows = ((cfg.slots + cfg.probes + 1 + 255) // 256) * 256
     B = cfg.bucket
     return HashVoxelMap(
         keys=jnp.full((rows, 3), EMPTY_KEY, dtype=jnp.int32),

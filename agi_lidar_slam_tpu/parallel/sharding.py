@@ -148,5 +148,6 @@ def sharded_scan_step(mesh: Mesh, state, scan, cfg: PipelineConfig):
                   cfg.corner_map)
     smap = insert(state.surf_map, surfs.xyz @ R.T + pose_opt.t, surfs.mask,
                   cfg.surf_map)
-    new_state = EngineState(pose_opt, state.pose, cmap, smap, state.frame + 1)
+    new_state = EngineState(pose_opt, state.pose, cmap, smap, state.frame + 1,
+                            corners, surfs)
     return new_state, ScanResult(pose_opt, stats, corners, surfs)

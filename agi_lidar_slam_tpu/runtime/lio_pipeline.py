@@ -145,6 +145,21 @@ def process_lio_scan(
         x_prop, P_prop, ds, state.map, cfg.map, cfg.ieskf
     )
 
+    # failure detection (LIO-SAM imuPreintegration.cpp:580-600): a diverged
+    # velocity or bias estimate resets biases and re-inflates covariance
+    # instead of letting the filter run away
+    diverged = (
+        (jnp.linalg.norm(x_new.v) > 30.0)
+        | (jnp.linalg.norm(x_new.ba) > 1.0)
+        | (jnp.linalg.norm(x_new.bg) > 1.0)
+        | ~jnp.all(jnp.isfinite(jnp.concatenate([x_new.p, x_new.v])))
+    )
+    fallback = x_prop._replace(v=jnp.zeros(3), bg=jnp.zeros(3), ba=jnp.zeros(3))
+    x_new = jax.tree.map(
+        lambda a, b: jnp.where(diverged, a, b), fallback, x_new
+    )
+    P_new = jnp.where(diverged, jnp.eye(24, dtype=P_new.dtype) * 1e-1, P_new)
+
     # map update in the corrected pose (map_incremental, laserMapping.cpp:382-433)
     from ..imu.eskf import lidar_to_world
 

@@ -35,6 +35,10 @@ class EngineState(NamedTuple):
     corner_map: HashVoxelMap
     surf_map: HashVoxelMap
     frame: jnp.ndarray  # int32 scan counter
+    # previous scan's features (sensor frame) for the optional scan-to-scan
+    # odometry stage (A-LOAM laserOdometry kd-tree swap :650-665)
+    prev_corners: PointBatch
+    prev_surfs: PointBatch
 
 
 class ScanResult(NamedTuple):
@@ -45,12 +49,17 @@ class ScanResult(NamedTuple):
 
 
 def init_state(cfg: PipelineConfig) -> EngineState:
+    f = cfg.features
     return EngineState(
         pose=se3.Pose.identity(),
         prev_pose=se3.Pose.identity(),
         corner_map=empty_map(cfg.corner_map),
         surf_map=empty_map(cfg.surf_map),
         frame=jnp.int32(0),
+        prev_corners=PointBatch(jnp.zeros((f.max_corners, 3)),
+                                jnp.zeros((f.max_corners,), bool)),
+        prev_surfs=PointBatch(jnp.zeros((f.max_surfs, 3)),
+                              jnp.zeros((f.max_surfs,), bool)),
     )
 
 
@@ -70,7 +79,6 @@ def process_scan(
 ) -> Tuple[EngineState, ScanResult]:
     """Process one sweep. Pure function: jit once, stream scans through it."""
     rel = se3.compose(se3.inverse(state.prev_pose), state.pose)
-    pred = se3.compose(state.pose, rel)  # constant-velocity initial guess
 
     if cfg.deskew:
         scan = deskew_constant_velocity(scan, rel)
@@ -82,6 +90,22 @@ def process_scan(
     surfs = voxel_downsample(
         feats.surfs.xyz, feats.surfs.mask, cfg.surf_ds_voxel, cfg.features.max_surfs
     )
+
+    if cfg.odometry_stage:
+        # scan-to-scan refinement of the motion prediction: register this
+        # scan's features against the previous scan's features (built into a
+        # throwaway hashed map in the previous sensor frame)
+        ocmap = insert(empty_map(cfg.odom_map), state.prev_corners.xyz,
+                       state.prev_corners.mask, cfg.odom_map)
+        osmap = insert(empty_map(cfg.odom_map), state.prev_surfs.xyz,
+                       state.prev_surfs.mask, cfg.odom_map)
+        rel_opt, _ = solve_scan2map(
+            rel, corners, surfs, ocmap, osmap, cfg.odom_map, cfg.odom_map,
+            cfg.odom_solver,
+        )
+        pred = se3.compose(state.pose, rel_opt)
+    else:
+        pred = se3.compose(state.pose, rel)  # constant-velocity initial guess
 
     # On an empty map (first frames) every eigenvalue of H is below the
     # degeneracy threshold, so the solver is a no-op and the pose stays at the
@@ -98,7 +122,8 @@ def process_scan(
     smap = insert(state.surf_map, surfs.xyz @ R.T + pose_opt.t, surfs.mask,
                   cfg.surf_map)
 
-    new_state = EngineState(pose_opt, state.pose, cmap, smap, state.frame + 1)
+    new_state = EngineState(pose_opt, state.pose, cmap, smap, state.frame + 1,
+                            corners, surfs)
     return new_state, ScanResult(pose_opt, stats, corners, surfs)
 
 

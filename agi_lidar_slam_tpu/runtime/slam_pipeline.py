@@ -138,7 +138,8 @@ def _correct_and_rebuild(bank: KeyframeBank, edges: EdgeSet, engine: EngineState
 
     pose_c = se3.compose(correction, engine.pose)
     prev_c = se3.compose(correction, engine.prev_pose)
-    engine2 = EngineState(pose_c, prev_c, cmap, smap, engine.frame)
+    engine2 = engine._replace(pose=pose_c, prev_pose=prev_c,
+                              corner_map=cmap, surf_map=smap)
     return bank2, engine2
 
 

@@ -1,0 +1,69 @@
+"""Slot-sharded map (multi-chip scale-out) vs single-device reference —
+exact parity on an 8-device virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from agi_lidar_slam_tpu.config import MapConfig
+from agi_lidar_slam_tpu.map.hash_map import empty_map, insert
+from agi_lidar_slam_tpu.nn.knn import knn
+from agi_lidar_slam_tpu.parallel.map_shard import (
+    shard_map_arrays,
+    sharded_insert,
+    sharded_knn,
+)
+
+CFG = MapConfig(log2_slots=13, sub_voxel=0.5, block_sub=2, probes=4,
+                claim_rounds=8, neighborhood="full27")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest should provide 8 virtual CPU devices"
+    return Mesh(np.array(devs[:8]), axis_names=("mp",))
+
+
+class TestShardedMap:
+    def test_sharded_insert_matches_reference(self, mesh):
+        pts = jax.random.uniform(jax.random.PRNGKey(0), (4000, 3), minval=-8, maxval=8)
+        mask = jnp.ones(4000, dtype=bool)
+        ref = insert(empty_map(CFG), pts, mask, CFG)
+        sh = sharded_insert(mesh, shard_map_arrays(empty_map(CFG), mesh), pts, mask, CFG)
+        np.testing.assert_array_equal(np.asarray(ref.keys), np.asarray(sh.keys))
+        assert int(ref.num_points()) == int(sh.num_points())
+        np.testing.assert_array_equal(np.asarray(ref.occ), np.asarray(sh.occ))
+        np.testing.assert_allclose(np.asarray(ref.points), np.asarray(sh.points))
+
+    def test_sharded_knn_matches_reference(self, mesh):
+        pts = jax.random.uniform(jax.random.PRNGKey(1), (6000, 3), minval=-6, maxval=6)
+        mask = jnp.ones(6000, dtype=bool)
+        m = insert(empty_map(CFG), pts, mask, CFG)
+        queries = jax.random.uniform(jax.random.PRNGKey(2), (512, 3), minval=-5, maxval=5)
+        qm = jnp.ones(512, dtype=bool)
+        ref = knn(m, queries, qm, 5, CFG)
+        sh = sharded_knn(mesh, shard_map_arrays(m, mesh), queries, qm, 5, CFG)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(ref.sq_dists), axis=1),
+            np.sort(np.asarray(sh.sq_dists), axis=1),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_incremental_sharded_inserts(self, mesh):
+        m_ref = empty_map(CFG)
+        m_sh = shard_map_arrays(empty_map(CFG), mesh)
+        for i in range(3):
+            pts = jax.random.uniform(jax.random.PRNGKey(10 + i), (1500, 3),
+                                     minval=-8, maxval=8)
+            mask = jnp.ones(1500, dtype=bool)
+            m_ref = insert(m_ref, pts, mask, CFG)
+            m_sh = sharded_insert(mesh, m_sh, pts, mask, CFG)
+        assert int(m_ref.num_points()) == int(m_sh.num_points())
+        np.testing.assert_array_equal(np.asarray(m_ref.occ), np.asarray(m_sh.occ))
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
