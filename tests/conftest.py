@@ -17,6 +17,7 @@ import jax  # noqa: E402
 import jax._src.xla_bridge as _xb  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-for _name in list(getattr(_xb, "_backend_factories", {})):
-    if _name != "cpu":
-        _xb._backend_factories.pop(_name, None)
+# drop only the axon plugin: the stock 'tpu' factory must stay registered so
+# jax.experimental.pallas.tpu can register its lowerings (it never initializes
+# under jax_platforms=cpu)
+_xb._backend_factories.pop("axon", None)
