@@ -34,17 +34,29 @@ class ScanFeatures(NamedTuple):
 
 
 def curvature(scan: ScanGrid, cfg: FeatureConfig):
-    """Per-point curvature and candidate validity. Returns (c (R,W), valid (R,W))."""
+    """Per-point curvature and candidate validity. Returns (c (R,W), valid (R,W)).
+
+    The +-w windowed sum is computed with one wrapped cumulative sum and two
+    shifted slices instead of 2w rolls (the azimuth axis wraps, correct for
+    360-degree sweeps)."""
     xyz, mask = scan.xyz, scan.mask
     r = jnp.linalg.norm(xyz, axis=-1)
     valid = mask & (r > cfg.min_range) & (r < cfg.max_range)
     w = cfg.curvature_window
-    acc = -2.0 * w * xyz
-    all_valid = valid
-    for j in range(1, w + 1):
-        for s in (j, -j):
-            acc = acc + jnp.roll(xyz, s, axis=1)
-            all_valid = all_valid & jnp.roll(valid, s, axis=1)
+    W = xyz.shape[1]
+    # wrap-pad by w on both sides, prefix-sum, then window = S[i+2w] - S[i-1]
+    ext = jnp.concatenate([xyz[:, W - w:], xyz, xyz[:, :w]], axis=1)
+    vext = jnp.concatenate([valid[:, W - w:], valid, valid[:, :w]], axis=1)
+    S = jnp.cumsum(ext, axis=1)
+    Sv = jnp.cumsum(vext.astype(jnp.int32), axis=1)
+    zero3 = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
+    zero1 = jnp.zeros((xyz.shape[0], 1), jnp.int32)
+    S = jnp.concatenate([zero3, S], axis=1)  # S[k] = sum of first k
+    Sv = jnp.concatenate([zero1, Sv], axis=1)
+    win_sum = S[:, 2 * w + 1:] - S[:, : W]  # (R,W,3): sum over the 2w+1 window
+    win_cnt = Sv[:, 2 * w + 1:] - Sv[:, : W]
+    acc = win_sum - (2.0 * w + 1.0) * xyz
+    all_valid = valid & (win_cnt == 2 * w + 1)
     c = jnp.sum(acc * acc, axis=-1)
     return jnp.where(all_valid, c, 0.0), all_valid
 

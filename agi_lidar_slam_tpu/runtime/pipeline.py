@@ -65,10 +65,17 @@ def init_state(cfg: PipelineConfig) -> EngineState:
 
 def deskew_constant_velocity(scan: ScanGrid, rel: se3.Pose) -> ScanGrid:
     """Map each point into the start-of-sweep frame assuming the sensor moved
-    by `rel` uniformly over the sweep: p' = interp(I, rel, tau) . p."""
-    tau = scan.time
-    q_i = so3.slerp(so3.quat_identity(), rel.q, tau)  # (R,W,4)
-    t_i = tau[..., None] * rel.t
+    by `rel` uniformly over the sweep: p' = interp(I, rel, tau) . p.
+
+    Rotation interpolation is nlerp (normalized lerp) rather than slerp: for
+    per-sweep rotations (<0.2 rad at any sane spin rate) the angular error is
+    <1e-4 rad while avoiding per-point transcendentals on the 115k-point grid.
+    """
+    tau = scan.time[..., None]
+    ident = so3.quat_identity()
+    q_rel = jnp.where(rel.q[0] < 0, -rel.q, rel.q)  # same hemisphere as identity
+    q_i = so3.quat_normalize((1.0 - tau) * ident + tau * q_rel)
+    t_i = tau * rel.t
     xyz = so3.quat_rotate(q_i, scan.xyz) + t_i
     return ScanGrid(xyz, scan.mask, scan.time)
 
