@@ -236,8 +236,12 @@ def marginalize_oldest(
     H_pr = 0.5 * (H_pr + H_pr.T)
     vals, vecs = jnp.linalg.eigh(H_pr)
     H_pr = (vecs * jnp.maximum(vals, 0.0)[None, :]) @ vecs.T
+    # NOTE: b_full is the *negative* gradient (-J^T r, per window_information),
+    # so the Schur-reduced b_pr keeps that convention; both consumers
+    # (solve_window's `g + H dx_lin - b` and the livox fold) expect +b_pr.
+    # Round-1 stored -b_pr, which drove the window to the negated optimum.
     return MarginalPrior(
-        H=H_pr, b=-b_pr,
+        H=H_pr, b=b_pr,
         q0=ws.q[1:], t0=ws.t[1:], v0=ws.v[1:], bg0=ws.bg[1:], ba0=ws.ba[1:],
     )
 

@@ -40,11 +40,47 @@ def ate_rmse(est: np.ndarray, gt: np.ndarray, align: bool = True) -> float:
     return float(np.sqrt((err**2).sum(axis=1).mean()))
 
 
-def rpe_rmse(est: np.ndarray, gt: np.ndarray, delta: int = 1) -> float:
-    """Relative pose (translation) error RMSE over a frame delta."""
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    """(N,4) [x,y,z,w] quaternions -> (N,3,3) rotation matrices."""
+    q = np.asarray(q, dtype=np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty(q.shape[:-1] + (3, 3))
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - w * z)
+    R[:, 0, 2] = 2 * (x * z + w * y)
+    R[:, 1, 0] = 2 * (x * y + w * z)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - w * x)
+    R[:, 2, 0] = 2 * (x * z - w * y)
+    R[:, 2, 1] = 2 * (y * z + w * x)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def rpe_rmse(
+    est: np.ndarray,
+    gt: np.ndarray,
+    delta: int = 1,
+    est_q: np.ndarray | None = None,
+    gt_q: np.ndarray | None = None,
+) -> float:
+    """Standard TUM/KITTI relative-pose translation error RMSE over a frame
+    delta: err_k = || trans( (gt_k^-1 gt_{k+d})^-1 (est_k^-1 est_{k+d}) ) ||.
+
+    With orientations (`est_q`/`gt_q`, xyzw) the per-frame deltas are
+    expressed in each trajectory's local frame — the exact metric. Without
+    them the world-frame displacement *vectors* are differenced (direction-
+    aware; unlike round 1's |de|-|dg| it cannot score zero on heading drift).
+    """
     est = np.asarray(est, dtype=np.float64)
     gt = np.asarray(gt, dtype=np.float64)
     de = est[delta:] - est[:-delta]
     dg = gt[delta:] - gt[:-delta]
-    err = np.linalg.norm(de, axis=1) - np.linalg.norm(dg, axis=1)
+    if est_q is not None and gt_q is not None:
+        Re = _quat_to_mat(np.asarray(est_q)[:-delta])
+        Rg = _quat_to_mat(np.asarray(gt_q)[:-delta])
+        de = np.einsum("nij,nj->ni", Re.transpose(0, 2, 1), de)
+        dg = np.einsum("nij,nj->ni", Rg.transpose(0, 2, 1), dg)
+    err = np.linalg.norm(de - dg, axis=1)
     return float(np.sqrt((err**2).mean()))

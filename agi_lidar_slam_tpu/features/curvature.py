@@ -79,8 +79,10 @@ def occlusion_mask(scan: ScanGrid, cfg: FeatureConfig) -> jnp.ndarray:
     far_next = gap_valid & (gap > 0.3)  # i+1 far side: mark i+1..i+6
     marked = jnp.zeros_like(valid)
     for j in range(6):
-        marked = marked | jnp.roll(far_here, j, axis=1)  # trigger at i marks i-j
-        marked = marked | jnp.roll(far_next, j + 1, axis=1)
+        # trigger at i marks i-j (the far side BEHIND the gap): marked[m] |=
+        # far_here[m+j], i.e. a backward shift
+        marked = marked | jnp.roll(far_here, -j, axis=1)
+        marked = marked | jnp.roll(far_next, j + 1, axis=1)  # marks i+1..i+6
     diff1 = jnp.abs(jnp.roll(r, 1, axis=1) - r)
     diff2 = jnp.abs(jnp.roll(r, -1, axis=1) - r)
     parallel = (diff1 > 0.02 * r) & (diff2 > 0.02 * r)

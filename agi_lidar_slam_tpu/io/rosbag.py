@@ -86,7 +86,7 @@ def read_messages(
             elif op == _OP_MSG:
                 conn_id = struct.unpack("<I", header["conn"])[0]
                 t = struct.unpack("<Q", header["time"])[0]
-                stamp = (t & 0xFFFFFFFF) * 1e-9 + (t >> 32)
+                stamp = (t & 0xFFFFFFFF) + (t >> 32) * 1e-9  # low u32 = secs, high = nsecs
                 conn = connections.get(conn_id)
                 if conn is None:
                     continue
@@ -120,7 +120,7 @@ def _handle_single(header, data, connections, topics):
     elif op == _OP_MSG:
         conn_id = struct.unpack("<I", header["conn"])[0]
         t = struct.unpack("<Q", header["time"])[0]
-        stamp = (t & 0xFFFFFFFF) * 1e-9 + (t >> 32)
+        stamp = (t & 0xFFFFFFFF) + (t >> 32) * 1e-9  # low u32 = secs, high = nsecs
         conn = connections.get(conn_id)
         if conn is not None and (topics is None or conn.topic in topics):
             yield conn.topic, conn.dtype, stamp, data

@@ -58,32 +58,47 @@ def _neighbor_blocks(queries: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> j
     return bc[:, None, :] + _OCT_CORNERS[None, :, :] * sign[:, None, :]
 
 
-def _dedup_lookup(m: HashVoxelMap, nbr: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
+def _dedup_lookup(m: HashVoxelMap, nbr: jnp.ndarray, qmask: jnp.ndarray,
+                  cfg: MapConfig) -> jnp.ndarray:
     """Slot lookup for (N,M,3) neighbor blocks with cross-query deduplication.
 
     Nearby queries share neighbor blocks, so the N*M raw lookups hit only a
     few thousand distinct blocks; probing each distinct block once cuts the
     dominant random-gather row count ~10x. Distinct coords are found by
-    sorting packed 30-bit keys; the unique capacity is N (more distinct
-    blocks than queries is impossible for octant8 up to the 8x bound and
-    rare in practice — overflow entries fall back to 'absent').
+    sorting packed 30-bit keys. To keep the pack exact on arbitrarily long
+    trajectories, coords are recentered on the minimum block coordinate of
+    the *valid* queries before packing (one scan spans far fewer than 1024
+    blocks per axis); anything outside the 1024-block window — only possible
+    for masked/garbage queries — gets a sentinel key and resolves to
+    'absent' instead of aliasing with a real block.
     """
     N, M, _ = nbr.shape
     # unique capacity: overlapping neighborhoods keep distinct-block counts
     # well under N*M; 4N covers sparse query sets (e.g. scattered corners with
-    # 27-block neighborhoods) with margin. Overflow falls back to 'absent'.
-    U = min(N * M, 4 * N)
+    # 27-block neighborhoods) with margin, and the 4096 floor makes small
+    # query batches (where 4N could undershoot the distinct count) exact.
+    # Overflow falls back to 'absent'.
+    U = min(N * M, max(4 * N, 4096))
     flat = nbr.reshape(-1, 3)
-    packed = (
-        (jnp.clip(flat[:, 0] + 512, 0, 1023) << 20)
-        | (jnp.clip(flat[:, 1] + 512, 0, 1023) << 10)
-        | jnp.clip(flat[:, 2] + 512, 0, 1023)
+    # recenter on the valid-query minimum so the 10-bit/axis pack never
+    # aliases far-apart world blocks (round-1 bug: clip(+512) merged blocks
+    # beyond ~±512 blocks from the origin and association silently vanished)
+    qnbr = jnp.where(qmask[:, None, None], nbr, jnp.int32(2**20))
+    base = jnp.min(qnbr.reshape(-1, 3), axis=0)  # (3,)
+    base = jnp.where(base == 2**20, 0, base)  # all-masked batch: any base works
+    rel = flat - base[None, :]
+    in_range = jnp.all((rel >= 0) & (rel < 1024), axis=1)
+    relc = jnp.clip(rel, 0, 1023)
+    packed = jnp.where(
+        in_range,
+        (relc[:, 0] << 20) | (relc[:, 1] << 10) | relc[:, 2],
+        jnp.int32(1 << 30),  # sentinel: sorts after every valid key
     )
     order = jnp.argsort(packed)
     ps = packed[order]
     first = jnp.concatenate([jnp.ones((1,), bool), ps[1:] != ps[:-1]])
     uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1  # (NM,)
-    ok_u = uid_sorted < U
+    ok_u = (uid_sorted < U) & in_range[order]
     # representative coords per unique id
     ucoords = jnp.full((U + 1, 3), 2**20, jnp.int32).at[
         jnp.where(first & ok_u, uid_sorted, U)
@@ -99,7 +114,7 @@ def knn(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray, k: int,
     """k nearest map points for each query. queries (N,3), qmask (N,)."""
     bc, _ = block_coords(queries, cfg)
     nbr = _neighbor_blocks(queries, bc, cfg)  # (N,M,3)
-    slot = _dedup_lookup(m, nbr, cfg)  # (N,M)
+    slot = _dedup_lookup(m, nbr, qmask, cfg)  # (N,M)
     dump = m.n_rows - 1
     slot_safe = jnp.where(slot >= 0, slot, dump)
     pts = m.points[slot_safe]  # (N,M,B,3) contiguous block rows

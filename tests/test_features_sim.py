@@ -78,6 +78,25 @@ class TestFeatures:
         nearest = d_face.min(axis=1)
         assert np.quantile(nearest, 0.9) < 0.1
 
+    def test_occlusion_marks_far_side(self):
+        # regression (round-1 bug): the far-side mark ran FORWARD (i..i+5)
+        # instead of backward (i-5..i), so silhouette points survived.
+        # One ring: range 10 m for cols 0..29, 5 m for cols 30..63. The far
+        # side behind the gap is cols 25..29; the near side 30.. is fine.
+        from agi_lidar_slam_tpu.features.curvature import occlusion_mask
+        from agi_lidar_slam_tpu.pointcloud.cloud import ScanGrid
+
+        W = 64
+        r = np.full((1, W), 10.0, np.float32)
+        r[0, 30:] = 5.0
+        az = np.linspace(0, 2 * np.pi, W, endpoint=False)[None, :]
+        xyz = np.stack([r * np.cos(az), r * np.sin(az), np.zeros_like(r)], axis=-1)
+        scan = ScanGrid(jnp.asarray(xyz), jnp.ones((1, W), bool),
+                        jnp.zeros((1, W), jnp.float32))
+        marked = np.asarray(occlusion_mask(scan, CFG))
+        assert marked[0, 24:30].all()  # far side behind the gap is masked
+        assert not marked[0, 31:36].any()  # near side just past the gap is kept
+
     def test_shapes_static(self):
         _, scan = make_scan()
         f1 = extract_features(scan, CFG)

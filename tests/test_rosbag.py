@@ -87,8 +87,9 @@ def write_bag(path, messages):
                                  "md5sum": b"x", "message_definition": b""})
             chunk += _record({"op": b"\x07", "conn": struct.pack("<I", conn_id),
                               "topic": topic.encode()}, conn_data)
+        # ROS 'time' wire layout: secs (u32 LE) then nsecs (u32 LE)
         chunk += _record({"op": b"\x02", "conn": struct.pack("<I", conn_id),
-                          "time": struct.pack("<Q", (10 << 32) | 500)}, raw)
+                          "time": struct.pack("<II", 10, 500)}, raw)
     with open(path, "wb") as f:
         f.write(b"#ROSBAG V2.0\n")
         f.write(_record({"op": b"\x03", "index_pos": struct.pack("<Q", 0),
@@ -110,6 +111,7 @@ class TestRosbag:
         assert len(msgs) == 1
         topic, dtype, stamp, raw = msgs[0]
         assert topic == "/velodyne_points" and dtype == "sensor_msgs/PointCloud2"
+        assert abs(stamp - (10 + 500e-9)) < 1e-12  # secs + nsecs, not swapped
         out = decode_pointcloud2(raw)
         np.testing.assert_allclose(
             np.stack([out["x"], out["y"], out["z"]], 1), xyz, atol=1e-6)

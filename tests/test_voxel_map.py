@@ -151,6 +151,28 @@ class TestKnn:
         res = knn(m, jnp.zeros((4, 3)), jnp.ones(4, dtype=bool), 5, CFG)
         assert not bool(res.valid.any())
 
+    @pytest.mark.parametrize("offset", [1500.0, -3000.0])
+    def test_knn_far_from_origin(self, offset):
+        # regression (round-1 bug): the dedup pack clipped block coords to
+        # +-512 blocks around the ORIGIN, so maps >1 km out aliased and the
+        # KNN hit rate silently fell to zero while brute force stayed exact
+        cfg = MapConfig(log2_slots=13, sub_voxel=0.5, block_sub=2,
+                        probes=8, claim_rounds=8, neighborhood="full27")
+        key = jax.random.PRNGKey(7)
+        ref = jax.random.uniform(key, (4000, 3), minval=-5.0, maxval=5.0) + offset
+        m = empty_map(cfg)
+        m = insert(m, ref, jnp.ones(4000, dtype=bool), cfg)
+        mp = map_points(m)
+        queries = jax.random.uniform(jax.random.PRNGKey(8), (128, 3),
+                                     minval=-4.0, maxval=4.0) + offset
+        res = knn(m, queries, jnp.ones(128, dtype=bool), 5, cfg)
+        brute = knn_brute(jnp.asarray(mp), jnp.ones(mp.shape[0], dtype=bool), queries, 5)
+        guaranteed = np.asarray(brute.sq_dists[:, 4]) < cfg.block_size**2
+        assert guaranteed.sum() > 30
+        got = np.sort(np.asarray(res.sq_dists), axis=1)[guaranteed]
+        want = np.sort(np.asarray(brute.sq_dists), axis=1)[guaranteed]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

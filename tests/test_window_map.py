@@ -123,6 +123,23 @@ class TestMarginalization:
         assert evals.min() > -1e-2  # information stays (near) PSD
         assert evals.max() > 1.0  # and is substantial
 
+    def test_prior_recovers_marginal_optimum(self):
+        # regression (round-1 sign bug): for a pure quadratic cost the prior
+        # from Schur-marginalizing frame 0 must place its optimum exactly at
+        # the joint optimum's remaining block — NOT its negation.
+        rng = np.random.RandomState(3)
+        A = rng.randn(60, 30)
+        H = jnp.asarray(A.T @ A + 30 * np.eye(30), jnp.float32)
+        b = jnp.asarray(rng.randn(30), jnp.float32)
+        ws = WindowState(q=jnp.tile(so3.quat_identity()[None], (2, 1)),
+                         t=jnp.zeros((2, 3)), v=jnp.zeros((2, 3)),
+                         bg=jnp.zeros((2, 3)), ba=jnp.zeros((2, 3)))
+        prior = marginalize_oldest(ws, H, b)
+        dx_joint = np.linalg.solve(np.asarray(H, np.float64), np.asarray(b, np.float64))
+        dx_prior = np.linalg.solve(np.asarray(prior.H, np.float64) + 1e-9 * np.eye(15),
+                                   np.asarray(prior.b, np.float64))
+        np.testing.assert_allclose(dx_prior, dx_joint[15:], rtol=1e-3, atol=1e-4)
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
