@@ -100,6 +100,11 @@ class PipelineConfig:
         n_outer=2, n_inner=2, corner_gate_sq=4.0, surf_gate_sq=4.0,
         degen_eig_thresh=10.0, plane_tol=0.3,
     )
+    # rolling map bound: blocks farther than this (per axis) from the current
+    # pose are evicted every scan, keeping the hash table from saturating on
+    # long trajectories (A-LOAM laserMapping.cpp:342-559 cube shifts,
+    # S-FAST_LIO lasermap_fov_segment :309-365). 0 disables (small worlds).
+    bound_radius: float = 150.0
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

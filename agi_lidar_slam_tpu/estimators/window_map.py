@@ -26,13 +26,50 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MapConfig, SolverConfig
+from ..fit.geometry_fit import fit_planes
 from ..geometry import se3, so3
 from ..imu.preintegration import Preintegrated
 from ..map.hash_map import HashVoxelMap
+from ..nn.knn import knn
 from ..pointcloud.cloud import PointBatch
 from .gn_scan2map import Correspondences, associate
 
 D_FRAME = 15
+
+
+class PlaneCorr(NamedTuple):
+    """Point-to-plane correspondences for the non-feature class
+    (Cost_NonFeature_ICP, LIO-Livox ceresfunc.h:624)."""
+
+    n: jnp.ndarray  # (N,3) unit normals
+    d: jnp.ndarray  # (N,) offsets
+    ok: jnp.ndarray  # (N,)
+
+
+def associate_nonfeature(pose: se3.Pose, pts: PointBatch, m: HashVoxelMap,
+                         map_cfg: MapConfig, cfg: SolverConfig,
+                         gate_sq: float = 4.0, tol: float = 0.5) -> PlaneCorr:
+    """KNN + loose plane fit of non-feature points against their own map
+    class (Estimator.cpp:1019-1050 runs this as the third residual thread)."""
+    R = so3.quat_to_matrix(pose.q)
+    w = pts.xyz @ R.T + pose.t
+    nn = knn(m, w, pts.mask, cfg.k_neighbors, map_cfg)
+    gate = nn.sq_dists[:, cfg.k_neighbors - 1] < gate_sq
+    plane = fit_planes(nn.points, nn.valid, tol)
+    ok = pts.mask & gate & plane.ok
+    return PlaneCorr(plane.normal, plane.offset, ok)
+
+
+def _nonfeature_residuals(ws: WindowState, frame: int, others: PointBatch,
+                          corr: PlaneCorr, huber: float) -> jnp.ndarray:
+    """Weighted point-to-plane residual rows for the non-feature class."""
+    R = so3.quat_to_matrix(ws.q[frame])
+    ow = others.xyz @ R.T + ws.t[frame]
+    r = jnp.einsum("ni,ni->n", corr.n, ow) + corr.d
+    r = jnp.where(corr.ok, r, 0.0)
+    w = jnp.sqrt(jnp.minimum(1.0, huber / jnp.maximum(jnp.abs(r), 1e-12)))
+    w = jax.lax.stop_gradient(jnp.where(corr.ok, w, 0.0))
+    return r * w
 
 
 class WindowState(NamedTuple):
@@ -147,16 +184,22 @@ def solve_window(
     smap_cfg: MapConfig,
     cfg: SolverConfig,
     lidar_weight: float = 30.0,
+    others: PointBatch | None = None,  # (F, No, 3) non-feature class
+    other_map: HashVoxelMap | None = None,
+    omap_cfg: MapConfig | None = None,
+    nonfeature_weight: float = 10.0,
 ) -> Tuple[WindowState, jnp.ndarray]:
     """Windowed MAP solve (LIO-Livox Estimate: 5 outer iterations).
     Returns (state, final residual norm)."""
     F = ws.frames
     D = F * D_FRAME
     sqrtW = jax.vmap(_sqrt_info)(preints.cov)  # (F-1,15,15)
+    use_others = others is not None and other_map is not None
 
     def outer(_, carry):
         ws, _ = carry
         corrs = []
+        ocorrs = []
         for f in range(F):
             corrs.append(
                 associate(se3.Pose(ws.q[f], ws.t[f]),
@@ -164,6 +207,11 @@ def solve_window(
                           PointBatch(surfs.xyz[f], surfs.mask[f]),
                           corner_map, surf_map, cmap_cfg, smap_cfg, cfg)
             )
+            if use_others:
+                ocorrs.append(associate_nonfeature(
+                    se3.Pose(ws.q[f], ws.t[f]),
+                    PointBatch(others.xyz[f], others.mask[f]),
+                    other_map, omap_cfg, cfg))
 
         def inner(_, carry2):
             ws_c, _ = carry2
@@ -178,6 +226,10 @@ def solve_window(
                         w, f, PointBatch(corners.xyz[f], corners.mask[f]),
                         PointBatch(surfs.xyz[f], surfs.mask[f]), corrs[f],
                         cfg.huber_delta))
+                    if use_others:
+                        parts.append(nonfeature_weight * _nonfeature_residuals(
+                            w, f, PointBatch(others.xyz[f], others.mask[f]),
+                            ocorrs[f], cfg.huber_delta))
                 for f in range(F - 1):
                     pre_f = jax.tree.map(lambda x: x[f], preints)
                     parts.append(sqrtW[f] @ _imu_residual(w, f, pre_f, grav))
@@ -258,11 +310,16 @@ def window_information(
     smap_cfg: MapConfig,
     cfg: SolverConfig,
     lidar_weight: float = 30.0,
+    others: PointBatch | None = None,
+    other_map: HashVoxelMap | None = None,
+    omap_cfg: MapConfig | None = None,
+    nonfeature_weight: float = 10.0,
 ):
     """(H, b) of the full window at the current state (for marginalization)."""
     F = ws.frames
     D = F * D_FRAME
     sqrtW = jax.vmap(_sqrt_info)(preints.cov)
+    use_others = others is not None and other_map is not None
     corrs = [
         associate(se3.Pose(ws.q[f], ws.t[f]),
                   PointBatch(corners.xyz[f], corners.mask[f]),
@@ -270,6 +327,12 @@ def window_information(
                   corner_map, surf_map, cmap_cfg, smap_cfg, cfg)
         for f in range(F)
     ]
+    ocorrs = [
+        associate_nonfeature(se3.Pose(ws.q[f], ws.t[f]),
+                             PointBatch(others.xyz[f], others.mask[f]),
+                             other_map, omap_cfg, cfg)
+        for f in range(F)
+    ] if use_others else []
 
     def residual(dx):
         w = _apply_delta(ws, dx)
@@ -278,6 +341,10 @@ def window_information(
             parts.append(lidar_weight * _lidar_residuals(
                 w, f, PointBatch(corners.xyz[f], corners.mask[f]),
                 PointBatch(surfs.xyz[f], surfs.mask[f]), corrs[f], cfg.huber_delta))
+            if use_others:
+                parts.append(nonfeature_weight * _nonfeature_residuals(
+                    w, f, PointBatch(others.xyz[f], others.mask[f]),
+                    ocorrs[f], cfg.huber_delta))
         for f in range(F - 1):
             pre_f = jax.tree.map(lambda x: x[f], preints)
             parts.append(sqrtW[f] @ _imu_residual(w, f, pre_f, grav))

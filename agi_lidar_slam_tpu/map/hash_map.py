@@ -137,15 +137,19 @@ def _first_empty(keys: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndar
     return jnp.where(found, h + p_idx, -1).reshape(bc.shape[:-1])
 
 
-def insert(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray, cfg: MapConfig) -> HashVoxelMap:
-    """Insert a padded point batch (N,3)+(N,) into the map (pure; returns new map).
+def insert_with_stats(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray,
+                      cfg: MapConfig) -> Tuple[HashVoxelMap, jnp.ndarray]:
+    """Insert a padded point batch (N,3)+(N,) into the map (pure; returns
+    (new map, n_dropped)).
 
     Existing sub-voxel occupants win (first-point-kept downsample, matching
     ikd-Tree's on-insert filtering). New blocks claim hash slots over
     `claim_rounds` conflict-resolution rounds: concurrent claimers of the same
     empty slot are serialized by a scatter-min of point index; losers retry on
     the next round against the updated table. Points whose probe chain is full
-    are dropped (bounded lossiness, mirroring the reference's queue drains).
+    are dropped (bounded lossiness, mirroring the reference's queue drains) —
+    `n_dropped` counts them so pipelines can surface silent geometry loss in
+    their metrics (a saturating table shows up as a rising drop count).
     """
     N = xyz.shape[0]
     B = m.bucket
@@ -181,6 +185,7 @@ def insert(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray, cfg: MapConfig)
 
     slot = lookup(keys, bc, cfg)
     placed = mask & (slot >= 0)
+    n_dropped = jnp.sum((mask & (slot < 0)).astype(jnp.int32))
     flat = jnp.where(placed, slot * B + sub_id, dump * B)
     # first-wins within a pre-existing map; among same-batch duplicates the
     # lowest point index wins (scatter-min), keeping insertion deterministic.
@@ -196,7 +201,24 @@ def insert(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray, cfg: MapConfig)
         jnp.where(is_owner[:, None], xyz, 0.0)
     )
     occ = m.occ.reshape(-1).at[flat_final].set(is_owner | m.occ.reshape(-1)[flat_final])
-    return HashVoxelMap(keys, points.reshape(m.n_rows, B, 3), occ.reshape(m.n_rows, B))
+    new_m = HashVoxelMap(keys, points.reshape(m.n_rows, B, 3), occ.reshape(m.n_rows, B))
+    return new_m, n_dropped
+
+
+def insert(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray, cfg: MapConfig) -> HashVoxelMap:
+    """`insert_with_stats` without the drop count (see its docstring)."""
+    return insert_with_stats(m, xyz, mask, cfg)[0]
+
+
+def bound_map(m: HashVoxelMap, center: jnp.ndarray, radius: float,
+              cfg: MapConfig) -> HashVoxelMap:
+    """Keep only blocks within `radius` (per axis) of `center` — the rolling
+    recentering every reference mapper performs (A-LOAM laserMapping.cpp:
+    342-559 cube shifts; S-FAST_LIO lasermap_fov_segment laserMapping.cpp:
+    309-365; LIO-Livox Map_Manager MapMove). Pure elementwise over the slot
+    axis (no gathers), so pipelines call it every scan."""
+    r = jnp.float32(radius)
+    return delete_outside_box(m, center - r, center + r, cfg)
 
 
 def delete_outside_box(m: HashVoxelMap, lo: jnp.ndarray, hi: jnp.ndarray,

@@ -25,7 +25,7 @@ from ..config import MapConfig
 from ..estimators.ieskf import IeskfConfig, update_iterated
 from ..geometry import so3
 from ..imu.eskf import EskfNoise, NavState, predict
-from ..map.hash_map import HashVoxelMap, empty_map, insert
+from ..map.hash_map import HashVoxelMap, bound_map, empty_map, insert_with_stats
 from ..pointcloud.voxel import voxel_downsample
 
 
@@ -37,6 +37,9 @@ class LioConfig(NamedTuple):
     noise: EskfNoise = EskfNoise()
     scan_voxel: float = 0.5  # filter_size_surf (laserMapping.cpp:621)
     max_scan_pts: int = 8192  # downsampled measurement budget
+    # rolling local-map bound (lasermap_fov_segment + Delete_Point_Boxes,
+    # S-FAST_LIO laserMapping.cpp:309-365). 0 disables.
+    bound_radius: float = 150.0
 
 
 class ImuWindow(NamedTuple):
@@ -60,6 +63,7 @@ class LioResult(NamedTuple):
     x: NavState
     n_matches: jnp.ndarray
     rms: jnp.ndarray
+    n_dropped: jnp.ndarray = jnp.int32(0)  # map inserts lost to full chains
 
 
 def init_lio_state(cfg: LioConfig, x0: NavState | None = None, p0_scale: float = 1e-3) -> LioState:
@@ -164,9 +168,11 @@ def process_lio_scan(
     from ..imu.eskf import lidar_to_world
 
     world_pts = lidar_to_world(x_new, ds.xyz)
-    new_map = insert(state.map, world_pts, ds.mask, cfg.map)
+    new_map, n_drop = insert_with_stats(state.map, world_pts, ds.mask, cfg.map)
+    if cfg.bound_radius > 0:
+        new_map = bound_map(new_map, x_new.p, cfg.bound_radius, cfg.map)
 
     return (
         LioState(x_new, P_new, new_map, state.frame + 1),
-        LioResult(x_new, n_ok, rms),
+        LioResult(x_new, n_ok, rms, n_drop),
     )

@@ -3,13 +3,17 @@
 Re-designs the PoseEstimation driver (PoseEstimation.cpp:381-662) +
 Estimator::EstimateLidarPose/Estimate (Estimator.cpp:838-1301):
 
-per sweep: [optional dynamic-object removal] -> feature extraction ->
-IMU-preintegration prediction of the new frame -> window shift ->
-windowed MAP solve (lidar + IMU + marginalization prior) ->
-marginalize the oldest frame -> map insert.
+per sweep: [optional dynamic-object removal] -> 3-class feature extraction
+(corner / surf / non-feature, LidarFeatureExtractor) -> IMU-preintegration
+prediction of the new frame -> window shift -> windowed MAP solve (lidar +
+non-feature ICP + IMU + marginalization prior, the three residual classes of
+Estimator.cpp:1019-1050) -> marginalize the oldest frame -> map insert into
+the three per-class maps (Map_Manager keeps 3 feature-class cube maps,
+Map_Manager.h:103-146).
 
 Window size 2 (SLIDEWINDOWSIZE, Estimator.h:29); the reference's 20-frame
-initialization window maps to running `static_init` before engaging.
+initialization window maps to `imu/initialization.py` dynamic MAP init or
+`static_init` before engaging.
 """
 
 from __future__ import annotations
@@ -21,7 +25,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import FeatureConfig, MapConfig, SolverConfig
+from ..config import MapConfig, SolverConfig
 from ..estimators.window_map import (
     MarginalPrior,
     WindowState,
@@ -29,11 +33,11 @@ from ..estimators.window_map import (
     solve_window,
     window_information,
 )
-from ..features.curvature import extract_features
+from ..features.livox import LivoxFeatureConfig, extract_livox_features
 from ..features.dynamic_removal import DynamicRemovalConfig, remove_dynamic
 from ..geometry import se3, so3
 from ..imu.preintegration import ImuNoise, Preintegrated, preintegrate
-from ..map.hash_map import HashVoxelMap, empty_map, insert
+from ..map.hash_map import HashVoxelMap, bound_map, empty_map, insert_with_stats
 from ..pointcloud.cloud import PointBatch, ScanGrid
 from ..pointcloud.voxel import voxel_downsample
 from .lio_pipeline import ImuWindow
@@ -41,20 +45,24 @@ from .lio_pipeline import ImuWindow
 
 @dataclasses.dataclass(frozen=True)
 class LivoxConfig:
-    features: FeatureConfig = FeatureConfig(
-        corners_per_sector=10, max_corners=1024, max_surfs=4096, surf_voxel=0.4
-    )
+    features: LivoxFeatureConfig = LivoxFeatureConfig()
     corner_map: MapConfig = MapConfig(sub_voxel=0.4, block_sub=4, log2_slots=15,
                                       neighborhood="full27")
     surf_map: MapConfig = MapConfig(sub_voxel=0.4, block_sub=2, log2_slots=16,
                                     neighborhood="full27")
+    # non-feature class map: coarse, its constraints are weak (ceresfunc.h:624)
+    other_map: MapConfig = MapConfig(sub_voxel=1.0, block_sub=2, log2_slots=14,
+                                     neighborhood="full27")
     solver: SolverConfig = SolverConfig(n_outer=3, n_inner=2, degen_eig_thresh=10.0)
     corner_ds_voxel: float = 0.3
     surf_ds_voxel: float = 0.4
     use_dynamic_removal: bool = True
+    use_nonfeature: bool = True  # third residual class in the window solve
     dynamic: DynamicRemovalConfig = DynamicRemovalConfig()
     imu_noise: ImuNoise = ImuNoise()
     lidar_weight: float = 30.0
+    nonfeature_weight: float = 10.0
+    bound_radius: float = 150.0  # Map_Manager MapMove analog; 0 disables
 
 
 class LivoxState(NamedTuple):
@@ -62,8 +70,10 @@ class LivoxState(NamedTuple):
     prior: MarginalPrior  # embedded over the full window (zeros on new frame)
     corners: PointBatch  # (2, Nc, 3) per-window-frame sensor-frame features
     surfs: PointBatch
+    others: PointBatch  # (2, No, 3) non-feature class
     corner_map: HashVoxelMap
     surf_map: HashVoxelMap
+    other_map: HashVoxelMap
     grav: jnp.ndarray
     frame: jnp.ndarray
 
@@ -71,6 +81,7 @@ class LivoxState(NamedTuple):
 class LivoxResult(NamedTuple):
     pose: se3.Pose
     residual: jnp.ndarray
+    n_dropped: jnp.ndarray = jnp.int32(0)
 
 
 def _embedded_empty_prior() -> MarginalPrior:
@@ -84,22 +95,28 @@ def _embedded_empty_prior() -> MarginalPrior:
 
 def init_livox_state(cfg: LivoxConfig, x0: se3.Pose | None = None,
                      v0: jnp.ndarray | None = None,
-                     grav: jnp.ndarray | None = None) -> LivoxState:
+                     grav: jnp.ndarray | None = None,
+                     bg0: jnp.ndarray | None = None,
+                     ba0: jnp.ndarray | None = None) -> LivoxState:
     p = x0 if x0 is not None else se3.Pose.identity()
     f = cfg.features
     ws = WindowState(
         q=jnp.tile(p.q[None], (2, 1)), t=jnp.tile(p.t[None], (2, 1)),
         v=jnp.tile((v0 if v0 is not None else jnp.zeros(3))[None], (2, 1)),
-        bg=jnp.zeros((2, 3)), ba=jnp.zeros((2, 3)),
+        bg=jnp.tile((bg0 if bg0 is not None else jnp.zeros(3))[None], (2, 1)),
+        ba=jnp.tile((ba0 if ba0 is not None else jnp.zeros(3))[None], (2, 1)),
     )
     empty_pb = PointBatch(jnp.zeros((2, f.max_corners, 3)),
                           jnp.zeros((2, f.max_corners), bool))
     empty_sb = PointBatch(jnp.zeros((2, f.max_surfs, 3)),
                           jnp.zeros((2, f.max_surfs), bool))
+    empty_ob = PointBatch(jnp.zeros((2, f.max_others, 3)),
+                          jnp.zeros((2, f.max_others), bool))
     return LivoxState(
         ws=ws, prior=_embedded_empty_prior(),
-        corners=empty_pb, surfs=empty_sb,
+        corners=empty_pb, surfs=empty_sb, others=empty_ob,
         corner_map=empty_map(cfg.corner_map), surf_map=empty_map(cfg.surf_map),
+        other_map=empty_map(cfg.other_map),
         grav=grav if grav is not None else jnp.asarray([0.0, 0.0, -9.81]),
         frame=jnp.int32(0),
     )
@@ -127,15 +144,16 @@ def process_livox_scan(
     imu: ImuWindow,
     cfg: LivoxConfig,
 ) -> Tuple[LivoxState, LivoxResult]:
-    # --- preprocessing: dynamic removal + features --------------------------
+    # --- preprocessing: dynamic removal + 3-class features ------------------
     if cfg.use_dynamic_removal:
         keep = remove_dynamic(scan, cfg.dynamic)
         scan = ScanGrid(scan.xyz, scan.mask & keep, scan.time)
-    feats = extract_features(scan, cfg.features)
+    feats = extract_livox_features(scan, cfg.features)
     corners_new = voxel_downsample(feats.corners.xyz, feats.corners.mask,
                                    cfg.corner_ds_voxel, cfg.features.max_corners)
     surfs_new = voxel_downsample(feats.surfs.xyz, feats.surfs.mask,
                                  cfg.surf_ds_voxel, cfg.features.max_surfs)
+    others_new = feats.others  # already voxel-downsampled by the extractor
 
     # --- IMU preintegration over the sweep + prediction ---------------------
     cur = jax.tree.map(lambda x: x[1], state.ws)
@@ -163,17 +181,24 @@ def process_livox_scan(
         jnp.stack([state.surfs.xyz[1], surfs_new.xyz]),
         jnp.stack([state.surfs.mask[1], surfs_new.mask]),
     )
+    others = PointBatch(
+        jnp.stack([state.others.xyz[1], others_new.xyz]),
+        jnp.stack([state.others.mask[1], others_new.mask]),
+    )
     preints = jax.tree.map(lambda x: x[None], pre)
+    okw = dict(others=others, other_map=state.other_map, omap_cfg=cfg.other_map,
+               nonfeature_weight=cfg.nonfeature_weight) if cfg.use_nonfeature else {}
 
     # --- windowed MAP solve + marginalization -------------------------------
     ws_opt, resid = solve_window(
         ws, corners, surfs, state.corner_map, state.surf_map, preints,
         state.prior, state.grav, cfg.corner_map, cfg.surf_map, cfg.solver,
-        cfg.lidar_weight,
+        cfg.lidar_weight, **okw,
     )
     H, b = window_information(
         ws_opt, corners, surfs, state.corner_map, state.surf_map, preints,
         state.grav, cfg.corner_map, cfg.surf_map, cfg.solver, cfg.lidar_weight,
+        **okw,
     )
     # fold the old prior in at the solution before Schur-complementing:
     # its information vector shifts by -H_prior (x_opt [-] x_lin)
@@ -187,13 +212,150 @@ def process_livox_scan(
     # --- map update at the optimized new pose -------------------------------
     pose_new = se3.Pose(ws_opt.q[1], ws_opt.t[1])
     Rn = so3.quat_to_matrix(pose_new.q)
-    cmap = insert(state.corner_map, corners_new.xyz @ Rn.T + pose_new.t,
-                  corners_new.mask, cfg.corner_map)
-    smap = insert(state.surf_map, surfs_new.xyz @ Rn.T + pose_new.t,
-                  surfs_new.mask, cfg.surf_map)
+    cmap, dc = insert_with_stats(state.corner_map,
+                                 corners_new.xyz @ Rn.T + pose_new.t,
+                                 corners_new.mask, cfg.corner_map)
+    smap, dss = insert_with_stats(state.surf_map,
+                                  surfs_new.xyz @ Rn.T + pose_new.t,
+                                  surfs_new.mask, cfg.surf_map)
+    omap, do = insert_with_stats(state.other_map,
+                                 others_new.xyz @ Rn.T + pose_new.t,
+                                 others_new.mask, cfg.other_map)
+    if cfg.bound_radius > 0:
+        cmap = bound_map(cmap, pose_new.t, cfg.bound_radius, cfg.corner_map)
+        smap = bound_map(smap, pose_new.t, cfg.bound_radius, cfg.surf_map)
+        omap = bound_map(omap, pose_new.t, cfg.bound_radius, cfg.other_map)
 
     new_state = LivoxState(
-        ws=ws_opt, prior=prior, corners=corners, surfs=surfs,
-        corner_map=cmap, surf_map=smap, grav=state.grav, frame=state.frame + 1,
+        ws=ws_opt, prior=prior, corners=corners, surfs=surfs, others=others,
+        corner_map=cmap, surf_map=smap, other_map=omap,
+        grav=state.grav, frame=state.frame + 1,
     )
-    return new_state, LivoxResult(pose_new, resid)
+    return new_state, LivoxResult(pose_new, resid, dc + dss + do)
+
+
+# ---------------------------------------------------------------------------
+# LO bootstrap + dynamic MAP initialization driver
+# ---------------------------------------------------------------------------
+
+
+class _LoState(NamedTuple):
+    """LiDAR-only odometry state for the initialization window."""
+
+    pose: se3.Pose
+    prev_pose: se3.Pose
+    corner_map: HashVoxelMap
+    surf_map: HashVoxelMap
+    other_map: HashVoxelMap
+
+
+# NOTE: no buffer donation here — the returned pose aliases the next call's
+# input state, and the host driver keeps pose/feature references across calls
+# for the MAP-init window. The LO phase runs only ~10 frames; copies are fine.
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _lo_step(st: _LoState, scan: ScanGrid, cfg: LivoxConfig):
+    """One LiDAR-only odometry step (the reference's LO mode before
+    TryMAPInitialization succeeds, PoseEstimation.cpp:444-482): constant-
+    velocity prediction + scan-to-map GN on the livox feature classes."""
+    from ..estimators.gn_scan2map import solve_scan2map
+
+    if cfg.use_dynamic_removal:
+        keep = remove_dynamic(scan, cfg.dynamic)
+        scan = ScanGrid(scan.xyz, scan.mask & keep, scan.time)
+    feats = extract_livox_features(scan, cfg.features)
+    corners = voxel_downsample(feats.corners.xyz, feats.corners.mask,
+                               cfg.corner_ds_voxel, cfg.features.max_corners)
+    surfs = voxel_downsample(feats.surfs.xyz, feats.surfs.mask,
+                             cfg.surf_ds_voxel, cfg.features.max_surfs)
+    others = feats.others
+
+    rel = se3.compose(se3.inverse(st.prev_pose), st.pose)
+    pred = se3.compose(st.pose, rel)
+    pose_opt, _ = solve_scan2map(pred, corners, surfs, st.corner_map,
+                                 st.surf_map, cfg.corner_map, cfg.surf_map,
+                                 cfg.solver)
+    R = so3.quat_to_matrix(pose_opt.q)
+    cmap = insert_with_stats(st.corner_map, corners.xyz @ R.T + pose_opt.t,
+                             corners.mask, cfg.corner_map)[0]
+    smap = insert_with_stats(st.surf_map, surfs.xyz @ R.T + pose_opt.t,
+                             surfs.mask, cfg.surf_map)[0]
+    omap = insert_with_stats(st.other_map, others.xyz @ R.T + pose_opt.t,
+                             others.mask, cfg.other_map)[0]
+    new_st = _LoState(pose_opt, st.pose, cmap, smap, omap)
+    return new_st, pose_opt, corners, surfs, others
+
+
+class LivoxDriver:
+    """Host driver reproducing the reference's LO -> LIO mode switch
+    (PoseEstimation.cpp:381-662): run LiDAR-only odometry for `init_frames`
+    sweeps while buffering IMU, then MAP-initialize {gravity, velocities,
+    biases} from the window (TryMAPInitialization :189-377 — the dynamic,
+    moving-start path) and engage the tightly-coupled window LIO."""
+
+    def __init__(self, cfg: LivoxConfig, init_frames: int = 10,
+                 x0: se3.Pose | None = None):
+        self.cfg = cfg
+        self.init_frames = init_frames
+        self.engaged = False
+        self.init_result = None
+        p0 = x0 if x0 is not None else se3.Pose.identity()
+        p0c = jax.tree.map(jnp.array, p0)
+        self._lo = _LoState(p0, p0c, empty_map(cfg.corner_map),
+                            empty_map(cfg.surf_map), empty_map(cfg.other_map))
+        # the init window holds LO-estimated poses only: x0 merely anchors the
+        # LO map (the first scan cannot be corrected against an empty map, so
+        # pairing x0 with the first IMU window would corrupt the MAP init)
+        self._poses: list = []
+        self._imu_windows: list = []
+        self._feat_tail: list = []  # last two frames' (corners, surfs, others)
+        self.state: LivoxState | None = None
+
+    def _engage(self):
+        from ..imu.initialization import map_initialize
+
+        qs = jnp.stack([p.q for p in self._poses])
+        ts = jnp.stack([p.t for p in self._poses])
+        pres = [
+            preintegrate(w.gyro, w.acc, jnp.where(w.mask, w.dt, 0.0), w.mask,
+                         jnp.zeros(3), jnp.zeros(3), self.cfg.imu_noise)
+            for w in self._imu_windows
+        ]
+        preints = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
+        init = map_initialize(qs, ts, preints)
+        self.init_result = init
+
+        (c0, s0, o0), (c1, s1, o1) = self._feat_tail[-2], self._feat_tail[-1]
+        ws = WindowState(
+            q=qs[-2:], t=ts[-2:], v=init.v[-2:],
+            bg=jnp.tile(init.bg[None], (2, 1)), ba=jnp.tile(init.ba[None], (2, 1)),
+        )
+        self.state = LivoxState(
+            ws=ws, prior=_embedded_empty_prior(),
+            corners=PointBatch(jnp.stack([c0.xyz, c1.xyz]),
+                               jnp.stack([c0.mask, c1.mask])),
+            surfs=PointBatch(jnp.stack([s0.xyz, s1.xyz]),
+                             jnp.stack([s0.mask, s1.mask])),
+            others=PointBatch(jnp.stack([o0.xyz, o1.xyz]),
+                              jnp.stack([o0.mask, o1.mask])),
+            corner_map=self._lo.corner_map, surf_map=self._lo.surf_map,
+            other_map=self._lo.other_map,
+            # copy: the engine donates its state, and init_result must stay
+            # readable by the host after engagement
+            grav=jnp.array(init.grav), frame=jnp.int32(len(self._poses)),
+        )
+        self.engaged = True
+        self._lo = None
+
+    def process(self, scan: ScanGrid, imu: ImuWindow):
+        """Feed one (sweep, covering IMU window) pair. Returns a LivoxResult."""
+        if self.engaged:
+            self.state, res = process_livox_scan(self.state, scan, imu, self.cfg)
+            return res
+        self._lo, pose, corners, surfs, others = _lo_step(self._lo, scan, self.cfg)
+        if self._poses:  # this IMU window links the previous LO frame to this one
+            self._imu_windows.append(imu)
+        self._poses.append(pose)
+        self._feat_tail = (self._feat_tail + [(corners, surfs, others)])[-2:]
+        if len(self._poses) >= self.init_frames:
+            self._engage()
+        return LivoxResult(pose, jnp.float32(0.0), jnp.int32(0))

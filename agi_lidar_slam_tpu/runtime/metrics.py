@@ -65,6 +65,8 @@ class MetricsWriter:
             )
         if hasattr(result, "n_matches"):
             rec.update(n_matches=int(result.n_matches), rms=float(result.rms))
+        if hasattr(result, "n_dropped"):
+            rec["n_dropped"] = int(result.n_dropped)  # map inserts lost (full chains)
         pose = getattr(result, "pose", None)
         if pose is not None:
             rec["t"] = [round(float(x), 4) for x in pose.t]

@@ -24,7 +24,7 @@ from ..estimators.gn_scan2map import GnStats, solve_scan2map
 from ..estimators.two_step import solve_scan2map_two_step
 from ..features.curvature import extract_features
 from ..geometry import se3, so3
-from ..map.hash_map import HashVoxelMap, empty_map, insert
+from ..map.hash_map import HashVoxelMap, bound_map, empty_map, insert, insert_with_stats
 from ..pointcloud.cloud import PointBatch, ScanGrid
 from ..pointcloud.voxel import voxel_downsample
 
@@ -46,6 +46,7 @@ class ScanResult(NamedTuple):
     stats: GnStats
     corners: "PointBatch"  # downsampled sensor-frame features of this scan
     surfs: "PointBatch"
+    n_dropped: jnp.ndarray = jnp.int32(0)  # map inserts lost to full chains
 
 
 def init_state(cfg: PipelineConfig) -> EngineState:
@@ -124,14 +125,17 @@ def process_scan(
     )
 
     R = so3.quat_to_matrix(pose_opt.q)
-    cmap = insert(state.corner_map, corners.xyz @ R.T + pose_opt.t, corners.mask,
-                  cfg.corner_map)
-    smap = insert(state.surf_map, surfs.xyz @ R.T + pose_opt.t, surfs.mask,
-                  cfg.surf_map)
+    cmap, drop_c = insert_with_stats(state.corner_map, corners.xyz @ R.T + pose_opt.t,
+                                     corners.mask, cfg.corner_map)
+    smap, drop_s = insert_with_stats(state.surf_map, surfs.xyz @ R.T + pose_opt.t,
+                                     surfs.mask, cfg.surf_map)
+    if cfg.bound_radius > 0:
+        cmap = bound_map(cmap, pose_opt.t, cfg.bound_radius, cfg.corner_map)
+        smap = bound_map(smap, pose_opt.t, cfg.bound_radius, cfg.surf_map)
 
     new_state = EngineState(pose_opt, state.pose, cmap, smap, state.frame + 1,
                             corners, surfs)
-    return new_state, ScanResult(pose_opt, stats, corners, surfs)
+    return new_state, ScanResult(pose_opt, stats, corners, surfs, drop_c + drop_s)
 
 
 def run_sequence(scans, cfg: PipelineConfig, state: EngineState | None = None):

@@ -32,7 +32,7 @@ from ..geometry import se3, so3
 from ..graph.keyframes import KeyframeBank, add_keyframe, empty_bank, should_add
 from ..graph.loop_closure import LoopConfig, align_loop, detect_loop
 from ..graph.pose_graph import EdgeSet, add_edge, between_measurement, empty_edges, solve_pose_graph
-from ..map.hash_map import empty_map, insert
+from ..map.hash_map import bound_map, empty_map, insert
 from ..pointcloud.cloud import ScanGrid
 from .pipeline import EngineState, ScanResult, init_state, process_scan
 
@@ -135,6 +135,12 @@ def _correct_and_rebuild(bank: KeyframeBank, edges: EdgeSet, engine: EngineState
                   (bank2.corner_mask & live).reshape(-1), cfg.pipeline.corner_map)
     smap = insert(empty_map(cfg.pipeline.surf_map), sw.reshape(-1, 3),
                   (bank2.surf_mask & live).reshape(-1), cfg.pipeline.surf_map)
+    if cfg.pipeline.bound_radius > 0:
+        center = se3.compose(correction, engine.pose).t
+        cmap = bound_map(cmap, center, cfg.pipeline.bound_radius,
+                         cfg.pipeline.corner_map)
+        smap = bound_map(smap, center, cfg.pipeline.bound_radius,
+                         cfg.pipeline.surf_map)
 
     pose_c = se3.compose(correction, engine.pose)
     prev_c = se3.compose(correction, engine.prev_pose)
@@ -143,14 +149,30 @@ def _correct_and_rebuild(bank: KeyframeBank, edges: EdgeSet, engine: EngineState
     return bank2, engine2
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("edges",))
+def _gps_edge(bank: KeyframeBank, edges: EdgeSet, gps: jnp.ndarray,
+              added: jnp.ndarray, cfg: SlamConfig) -> EdgeSet:
+    """Unary GPS factor on the just-added keyframe (addGPSFactor,
+    LIO-SAM mapOptmization.cpp:1879-1957); masked no-op when no keyframe."""
+    idx = jnp.maximum(bank.count - 1, 0)
+    return add_edge(edges, idx, idx, se3.Pose(so3.quat_identity(), gps),
+                    0.0, cfg.gps_w_trans, kind=1, do_add=added)
+
+
 class SlamDriver:
     """Host driver: streams scans, runs the loop-closure step on a cadence
-    (the reference's 1 Hz loopClosureThread), applies corrections."""
+    (the reference's 1 Hz loopClosureThread), applies corrections.
+
+    The per-scan path is sync-free: keyframe gating, edge insertion and GPS
+    factors are device-resident masked ops, and the loop cadence runs off a
+    host-side scan counter — no `bool()`/`int()` fetch per scan (round-1
+    throttled SLAM mode with a device round-trip every scan)."""
 
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
         self.state = init_slam(cfg)
         self.n_loops_closed = 0
+        self.host_frame = 0
 
     def process(self, scan: ScanGrid,
                 gps: Optional[jnp.ndarray] = None) -> ScanResult:
@@ -160,15 +182,12 @@ class SlamDriver:
         bank, edges, last_kf, added = _keyframe_step(
             st.bank, st.edges, st.last_kf_idx, res, engine.frame, cfg
         )
-        if gps is not None and bool(added):
-            idx = jnp.maximum(bank.count - 1, 0)
-            edges = add_edge(edges, idx, idx,
-                             se3.Pose(so3.quat_identity(), jnp.asarray(gps)),
-                             0.0, cfg.gps_w_trans, kind=1, do_add=True)
+        if gps is not None:
+            edges = _gps_edge(bank, edges, jnp.asarray(gps), added, cfg)
         self.state = SlamState(engine, bank, edges, last_kf)
 
-        frame = int(engine.frame)
-        if frame % cfg.loop_every == 0 and int(bank.count) > 3:
+        self.host_frame += 1
+        if self.host_frame % cfg.loop_every == 0:
             self._try_close_loop()
         return res
 

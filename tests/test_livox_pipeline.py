@@ -7,12 +7,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from agi_lidar_slam_tpu.config import FeatureConfig, MapConfig, SolverConfig
+from agi_lidar_slam_tpu.config import MapConfig, SolverConfig
 from agi_lidar_slam_tpu.features.dynamic_removal import DynamicRemovalConfig, remove_dynamic
+from agi_lidar_slam_tpu.features.livox import LivoxFeatureConfig
 from agi_lidar_slam_tpu.geometry import se3, so3
 from agi_lidar_slam_tpu.runtime.lio_pipeline import ImuWindow
 from agi_lidar_slam_tpu.runtime.livox_pipeline import (
     LivoxConfig,
+    LivoxDriver,
     init_livox_state,
     process_livox_scan,
 )
@@ -22,8 +24,9 @@ from agi_lidar_slam_tpu.sim.world import BoxWorld, default_world, simulate_scan
 RADIUS, OMEGA, DT, M = 6.0, 0.25, 0.2, 20
 
 CFG = LivoxConfig(
-    features=FeatureConfig(corners_per_sector=8, max_corners=512, max_surfs=2048,
-                           surf_voxel=0.3),
+    features=LivoxFeatureConfig(corners_per_sector=8, max_corners=512,
+                                max_surfs=2048, max_others=1024, surf_voxel=0.3,
+                                min_range=0.3),
     corner_map=MapConfig(sub_voxel=0.25, block_sub=4, log2_slots=14,
                          neighborhood="full27"),
     surf_map=MapConfig(sub_voxel=0.5, block_sub=2, log2_slots=15,
@@ -83,6 +86,37 @@ class TestLivoxWindowLio:
             errs.append(float(jnp.linalg.norm(res.pose.t - p1.t)))
         assert errs[-1] < 0.25, errs
         assert int(state.surf_map.num_points()) > 500
+        assert int(state.other_map.num_points()) > 50  # 3rd class is live
+
+
+class TestLivoxDriverMovingStart:
+    def test_lo_bootstrap_then_map_init_then_lio(self):
+        """Dynamic initialization from a MOVING start (TryMAPInitialization,
+        PoseEstimation.cpp:189-377): LO odometry over the init window, MAP
+        init of gravity/velocity/bias, then tightly-coupled window LIO."""
+        world = default_world(seed=9)
+        x0 = circle_pose(0.0, RADIUS, OMEGA)
+        driver = LivoxDriver(CFG, init_frames=6, x0=x0)
+        errs = []
+        for i in range(12):
+            t0, t1 = i * DT, (i + 1) * DT
+            p1 = circle_pose(t1, RADIUS, OMEGA)
+            scan = simulate_scan(world, p1, p1, rings=16, width=720,
+                                 noise_std=0.005, seed=50 + i)
+            ts = t0 + (jnp.arange(M) + 0.5) * (DT / M)
+            gy, ac = circle_imu(ts, RADIUS, OMEGA)
+            win = ImuWindow(gy, ac, jnp.full((M,), DT / M), jnp.ones((M,), bool))
+            res = driver.process(scan, win)
+            errs.append(float(jnp.linalg.norm(res.pose.t - p1.t)))
+        assert driver.engaged
+        init = driver.init_result
+        assert bool(init.ok)
+        # gravity recovered from a moving start
+        np.testing.assert_allclose(np.asarray(init.grav), [0, 0, -9.81], atol=0.3)
+        v_err = float(jnp.linalg.norm(init.v[-1] - circle_velocity(6 * DT, RADIUS, OMEGA)))
+        assert v_err < 0.3, v_err
+        # tracking holds through the LO->LIO switch
+        assert max(errs[6:]) < 0.35, errs
 
 
 if __name__ == "__main__":
