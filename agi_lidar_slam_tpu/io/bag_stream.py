@@ -1,0 +1,155 @@
+"""Bag -> engine streaming: pair each lidar sweep with its covering IMU window.
+
+This is the engine-side replacement for `rosbag play` + the reference's
+subscriber queues and `sync_packages` logic (S-FAST_LIO laserMapping.cpp:
+218-275 collects the IMU deque covering each sweep; LIO-SAM imageProjection
+caches IMU between cloudHandler calls). Host-side numpy; outputs are padded
+fixed-shape arrays ready for the jitted engines.
+
+Sweep payload formats:
+* PointCloud2 -> flat points (`xyz`, `rel_time`, `mask`) for the direct LIO
+  engine, plus a ring-grid `ScanGrid` for the feature-based engines. If the
+  cloud carries a per-point relative-time field (`time`/`t`/`timestamp`/
+  `time_offset`), it is used; else times spread linearly over the sweep.
+* livox CustomMsg -> the same, with per-line (ring) grid assembly from the
+  `line` channel (livox_repub.cpp:12-47 packs exactly these fields).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from . import rosbag as rb
+
+_PC2 = "sensor_msgs/PointCloud2"
+_IMU = "sensor_msgs/Imu"
+_LIVOX = "livox_ros_driver/CustomMsg"
+_TIME_FIELDS = ("time", "t", "timestamp", "time_offset", "offset_time")
+
+
+@dataclasses.dataclass
+class SweepBundle:
+    """One lidar sweep + the IMU samples since the previous sweep."""
+
+    stamp: float
+    xyz: np.ndarray  # (P,3) f32 padded
+    rel_time: np.ndarray  # (P,) f32 seconds from sweep reference
+    mask: np.ndarray  # (P,) bool
+    ring: Optional[np.ndarray]  # (P,) int32 or None
+    imu_gyro: np.ndarray  # (M,3) f32 padded
+    imu_acc: np.ndarray  # (M,3)
+    imu_dt: np.ndarray  # (M,)
+    imu_mask: np.ndarray  # (M,)
+
+
+def _pad_points(xyz, rel_t, ring, max_points):
+    P = max_points
+    n = min(len(xyz), P)
+    out_xyz = np.zeros((P, 3), np.float32)
+    out_t = np.zeros((P,), np.float32)
+    out_m = np.zeros((P,), bool)
+    out_xyz[:n] = xyz[:n]
+    out_t[:n] = rel_t[:n]
+    out_m[:n] = True
+    out_r = None
+    if ring is not None:
+        out_r = np.zeros((P,), np.int32)
+        out_r[:n] = ring[:n]
+    return out_xyz, out_t, out_m, out_r
+
+
+def _pad_imu(samples, imu_capacity, default_rate=200.0):
+    """samples: list of (stamp, gyro(3), acc(3)) sorted by stamp."""
+    M = imu_capacity
+    gyro = np.zeros((M, 3), np.float32)
+    acc = np.zeros((M, 3), np.float32)
+    dt = np.zeros((M,), np.float32)
+    mask = np.zeros((M,), bool)
+    n = min(len(samples), M)
+    for i in range(n):
+        gyro[i] = samples[i][1]
+        acc[i] = samples[i][2]
+        if i + 1 < n:
+            dt[i] = max(samples[i + 1][0] - samples[i][0], 0.0)
+        else:
+            dt[i] = 1.0 / default_rate
+        mask[i] = True
+    return gyro, acc, dt, mask
+
+
+def stream_bag(
+    path: str,
+    lidar_topic: Optional[str] = None,
+    imu_topic: Optional[str] = None,
+    max_points: int = 131072,
+    imu_capacity: int = 512,
+) -> Iterator[SweepBundle]:
+    """Iterate (sweep, imu-window) bundles in bag time order. Topics default
+    to the first PointCloud2/CustomMsg and first Imu connection seen."""
+    imu_buf: list = []
+    for topic, dtype, stamp, raw in rb.read_messages(path):
+        if dtype == _IMU and (imu_topic is None or topic == imu_topic):
+            if imu_topic is None:
+                imu_topic = topic
+            m = rb.decode_imu(raw)
+            imu_buf.append((stamp, m["gyro"], m["acc"]))
+        elif dtype == _PC2 and (lidar_topic is None or topic == lidar_topic):
+            if lidar_topic is None:
+                lidar_topic = topic
+            f = rb.decode_pointcloud2(raw)
+            xyz = np.stack([f["x"], f["y"], f["z"]], axis=1).astype(np.float32)
+            rel_t = None
+            for name in _TIME_FIELDS:
+                if name in f:
+                    rel_t = f[name].astype(np.float64)
+                    if rel_t.max(initial=0.0) > 1e6:  # ns-scale stamps
+                        rel_t = rel_t * 1e-9
+                    rel_t = rel_t - rel_t.min(initial=0.0)
+                    break
+            if rel_t is None:
+                rel_t = np.linspace(0.0, 0.1, len(xyz), endpoint=False)
+            ring = f["ring"].astype(np.int32) if "ring" in f else None
+            px, pt, pm, pr = _pad_points(xyz, rel_t, ring, max_points)
+            g, a, d, mm = _pad_imu(imu_buf, imu_capacity)
+            imu_buf = []
+            yield SweepBundle(stamp, px, pt, pm, pr, g, a, d, mm)
+        elif dtype == _LIVOX and (lidar_topic is None or topic == lidar_topic):
+            if lidar_topic is None:
+                lidar_topic = topic
+            f = rb.decode_livox_custom(raw)
+            px, pt, pm, pr = _pad_points(
+                f["xyz"], f["offset_time_s"].astype(np.float32),
+                f["line"].astype(np.int32), max_points)
+            g, a, d, mm = _pad_imu(imu_buf, imu_capacity)
+            imu_buf = []
+            yield SweepBundle(stamp, px, pt, pm, pr, g, a, d, mm)
+
+
+def bundle_to_grid(b: SweepBundle, rings: int, width: int,
+                   fov_up_deg: float = 2.0, fov_down_deg: float = -24.8):
+    """SweepBundle -> ScanGrid for the feature-based engines. Uses the ring
+    channel when present (Velodyne/Ouster/livox line id), else elevation
+    binning."""
+    import jax.numpy as jnp
+
+    from ..pointcloud.cloud import ScanGrid, grid_from_unorganized
+
+    pts = b.xyz[b.mask]
+    if b.ring is None:
+        return grid_from_unorganized(pts, rings, width, fov_up_deg, fov_down_deg)
+    ring = b.ring[b.mask]
+    rel_t = b.rel_time[b.mask]
+    azim = np.arctan2(pts[:, 1], pts[:, 0])
+    col = np.round((azim + np.pi) / (2 * np.pi) * (width - 1)).astype(np.int32)
+    ok = (ring >= 0) & (ring < rings)
+    grid = np.zeros((rings, width, 3), np.float32)
+    mask = np.zeros((rings, width), bool)
+    tgrid = np.zeros((rings, width), np.float32)
+    grid[ring[ok], col[ok]] = pts[ok]
+    mask[ring[ok], col[ok]] = True
+    span = max(rel_t.max(initial=0.0), 1e-6)
+    tgrid[ring[ok], col[ok]] = rel_t[ok] / span  # normalized [0,1)
+    return ScanGrid(jnp.asarray(grid), jnp.asarray(mask), jnp.asarray(tgrid))

@@ -121,9 +121,103 @@ struct Loader {
   }
 };
 
+// ---------------------------------------------------------------------------
+// LZ4 decompression (frame + block formats), for lz4-compressed rosbag chunks
+// (roslz4 writes the standard LZ4 frame format). Self-contained — no liblz4
+// dependency in the image. Consumed by io/rosbag.py via ctypes.
+// ---------------------------------------------------------------------------
+
+static int64_t lz4_block_decode(const uint8_t* src, int64_t src_len,
+                                uint8_t* dst, int64_t dst_pos, int64_t dst_cap) {
+  // LZ4 block: sequences of [token][literals][offset][matchlen ext].
+  // Matches may reach back before dst_pos (block-dependent streams decode
+  // into one contiguous buffer, so that is naturally supported).
+  int64_t s = 0;
+  int64_t d = dst_pos;
+  while (s < src_len) {
+    uint8_t token = src[s++];
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (s >= src_len) return -1;
+        b = src[s++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (s + lit > src_len || d + lit > dst_cap) return -1;
+    std::memcpy(dst + d, src + s, (size_t)lit);
+    s += lit;
+    d += lit;
+    if (s >= src_len) break;  // final sequence: literals only
+    if (s + 2 > src_len) return -1;
+    int64_t offset = (int64_t)src[s] | ((int64_t)src[s + 1] << 8);
+    s += 2;
+    if (offset == 0 || offset > d) return -1;
+    int64_t mlen = (token & 0x0F);
+    if (mlen == 15) {
+      uint8_t b;
+      do {
+        if (s >= src_len) return -1;
+        b = src[s++];
+        mlen += b;
+      } while (b == 255);
+    }
+    mlen += 4;
+    if (d + mlen > dst_cap) return -1;
+    const uint8_t* m = dst + d - offset;
+    for (int64_t i = 0; i < mlen; ++i) dst[d + i] = m[i];  // overlap-safe
+    d += mlen;
+  }
+  return d - dst_pos;
+}
+
+static uint32_t rd32(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+
 }  // namespace
 
 extern "C" {
+
+// Decode an LZ4 *frame* (magic 0x184D2204). Returns bytes written, or -1.
+int64_t lz4_frame_decode(const uint8_t* src, int64_t src_len, uint8_t* dst,
+                         int64_t dst_cap) {
+  if (src_len < 7) return -1;
+  int64_t s = 0;
+  if (rd32(src) != 0x184D2204u) return -1;
+  s += 4;
+  uint8_t flg = src[s++];
+  s += 1;  // BD byte (block max size) — irrelevant for decoding
+  bool b_checksum = (flg >> 4) & 1;
+  bool c_size = (flg >> 3) & 1;
+  bool dict_id = flg & 1;
+  if (c_size) s += 8;
+  if (dict_id) s += 4;
+  s += 1;  // header checksum
+  int64_t d = 0;
+  while (s + 4 <= src_len) {
+    uint32_t bsz = rd32(src + s);
+    s += 4;
+    if (bsz == 0) break;  // EndMark
+    bool stored = (bsz & 0x80000000u) != 0;
+    int64_t blen = bsz & 0x7FFFFFFFu;
+    if (s + blen > src_len) return -1;
+    if (stored) {
+      if (d + blen > dst_cap) return -1;
+      std::memcpy(dst + d, src + s, (size_t)blen);
+      d += blen;
+    } else {
+      int64_t out = lz4_block_decode(src + s, blen, dst, d, dst_cap);
+      if (out < 0) return -1;
+      d += out;
+    }
+    s += blen;
+    if (b_checksum) s += 4;
+  }
+  return d;
+}
 
 void* loader_create(const char** paths, int n_paths, int rings, int width,
                     float fov_up, float fov_down, float min_range,

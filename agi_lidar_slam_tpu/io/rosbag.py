@@ -7,8 +7,8 @@ livox_ros_driver/CustomMsg (the three message types every reference package
 subscribes to: A-LOAM/LeGO/LIO-SAM PointCloud2+Imu; S-FAST_LIO/LIO-Livox/
 livox_mapping CustomMsg, e.g. livox_repub.cpp:12-47).
 
-Supports 'none' and 'bz2' chunk compression (the common cases for published
-datasets; 'lz4' raises a clear error).
+Supports 'none', 'bz2' and 'lz4' chunk compression (lz4 via the repo's
+native C++ LZ4-frame decoder — the image ships no lz4 python module).
 """
 
 from __future__ import annotations
@@ -18,6 +18,33 @@ import struct
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
+
+_lz4_lib = None
+
+
+def _lz4_decompress(data: bytes, uncompressed_size: int) -> bytes:
+    """LZ4-frame decompression via the native library (lidar_io.cpp),
+    loaded lazily; roslz4 writes standard LZ4 frames."""
+    global _lz4_lib
+    import ctypes
+
+    if _lz4_lib is None:
+        from .native_loader import build_native
+
+        lib = ctypes.CDLL(build_native())
+        lib.lz4_frame_decode.restype = ctypes.c_int64
+        lib.lz4_frame_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64
+        ]
+        _lz4_lib = lib
+    out = np.empty(uncompressed_size, dtype=np.uint8)
+    n = _lz4_lib.lz4_frame_decode(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), uncompressed_size,
+    )
+    if n < 0:
+        raise ValueError("corrupt lz4 chunk")
+    return out[:n].tobytes()
+
 
 _OP_MSG = 0x02
 _OP_BAG_HEADER = 0x03
@@ -101,6 +128,9 @@ def read_messages(
                 inner = data
             elif comp == "bz2":
                 inner = bz2.decompress(data)
+            elif comp == "lz4":
+                (usize,) = struct.unpack("<I", header["size"])
+                inner = _lz4_decompress(data, usize)
             else:
                 raise NotImplementedError(f"chunk compression {comp!r}")
             yield from handle_inner(inner)

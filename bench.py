@@ -15,9 +15,18 @@ north-star target is >=10x real-time per chip, i.e. vs_baseline >= 10.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent executable cache: the axon-tunneled first compile costs minutes;
+# cache across runs (harmless no-op if the plugin cannot serialize)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 
 from agi_lidar_slam_tpu.config import preset_aloam_kitti64

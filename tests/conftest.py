@@ -17,6 +17,13 @@ import jax  # noqa: E402
 import jax._src.xla_bridge as _xb  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the suite spends >10 CPU-minutes compiling the
+# big jitted pipelines; cache them across runs (keyed by HLO hash, so code
+# changes invalidate naturally)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 # drop only the axon plugin: the stock 'tpu' factory must stay registered so
 # jax.experimental.pallas.tpu can register its lowerings (it never initializes
 # under jax_platforms=cpu)

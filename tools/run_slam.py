@@ -29,10 +29,24 @@ import numpy as np
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--kitti", help="KITTI sequence dir (with velodyne/)")
+    ap.add_argument("--bag", help="ROS1 .bag file (PointCloud2/CustomMsg + Imu)")
     ap.add_argument("--sim", action="store_true", help="run on the simulator")
     ap.add_argument("--preset", default="aloam",
                     choices=["aloam", "sim16", "lego"],
-                    help="engine configuration preset")
+                    help="engine configuration preset (feature-based engines)")
+    ap.add_argument("--engine", default=None,
+                    choices=["odom", "slam", "lio", "livox", "liosam"],
+                    help="odom/slam: feature scan-to-map; lio: FAST-LIO IESKF; "
+                         "livox: sliding-window MAP; liosam: IMU-coupled + graph")
+    ap.add_argument("--lidar-topic", default=None)
+    ap.add_argument("--imu-topic", default=None)
+    ap.add_argument("--rings", type=int, default=None,
+                    help="grid rows for bag feature engines (default 16, or "
+                         "6 for livox CustomMsg)")
+    ap.add_argument("--max-points", type=int, default=131072)
+    ap.add_argument("--fov-up", type=float, default=2.0,
+                    help="grid fov for bag clouds without a ring channel")
+    ap.add_argument("--fov-down", type=float, default=-24.8)
     ap.add_argument("--frames", type=int, default=40, help="sim frames")
     ap.add_argument("--max-scans", type=int, default=None)
     ap.add_argument("--width", type=int, default=1800)
@@ -42,6 +56,11 @@ def main() -> int:
     ap.add_argument("--slam", action="store_true",
                     help="full SLAM (keyframes + loop closure) instead of odometry")
     args = ap.parse_args()
+    if args.engine is None:
+        args.engine = "slam" if args.slam else "odom"
+
+    if args.bag:
+        return _run_bag(args)
 
     import jax.numpy as jnp
 
@@ -145,6 +164,136 @@ def main() -> int:
         print("trajectory written:", args.traj_out)
     if args.save_map:
         save_map_bundle(args.save_map, state, trajectory=est)
+        print("maps written:", args.save_map)
+    metrics.close()
+    return 0
+
+
+def _run_bag(args) -> int:
+    """Stream a ROS1 bag through the chosen engine (the one-command analog of
+    `roslaunch ... && rosbag play ...`, SURVEY.md section 4)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agi_lidar_slam_tpu.config import preset_aloam_kitti64, preset_lego_vlp16, preset_sim16
+    from agi_lidar_slam_tpu.io.bag_stream import bundle_to_grid, stream_bag
+    from agi_lidar_slam_tpu.runtime.lio_pipeline import ImuWindow
+    from agi_lidar_slam_tpu.runtime.metrics import MetricsWriter, StageTimer
+
+    metrics = MetricsWriter(args.metrics)
+    timer = StageTimer()
+    est = []
+    n = 0
+    t_start = time.perf_counter()
+    stream = stream_bag(args.bag, lidar_topic=args.lidar_topic,
+                        imu_topic=args.imu_topic, max_points=args.max_points)
+
+    def imu_win(b):
+        return ImuWindow(jnp.asarray(b.imu_gyro), jnp.asarray(b.imu_acc),
+                         jnp.asarray(b.imu_dt), jnp.asarray(b.imu_mask))
+
+    state = None
+    driver = None
+    if args.engine == "lio":
+        from agi_lidar_slam_tpu.imu.eskf import static_init
+        from agi_lidar_slam_tpu.runtime.lio_pipeline import (
+            LioConfig, init_lio_state, process_lio_scan)
+
+        cfg = LioConfig()
+        for b in stream:
+            win = imu_win(b)
+            if state is None:
+                x0 = static_init(win.gyro, win.acc, win.mask)
+                state = init_lio_state(cfg, x0)
+            with timer.stage("scan"):
+                state, res = process_lio_scan(
+                    state, jnp.asarray(b.xyz), jnp.asarray(b.rel_time),
+                    jnp.asarray(b.mask), win, cfg)
+            est.append(np.asarray(res.x.p))
+            metrics.log_scan(n, res, 0.0)
+            n += 1
+            if args.max_scans and n >= args.max_scans:
+                break
+        final_state = state
+    elif args.engine == "livox":
+        from agi_lidar_slam_tpu.runtime.livox_pipeline import LivoxConfig, LivoxDriver
+
+        cfg = LivoxConfig()
+        rings = args.rings or 6
+        driver = LivoxDriver(cfg)
+        for b in stream:
+            grid = bundle_to_grid(b, rings, args.width, args.fov_up, args.fov_down)
+            with timer.stage("scan"):
+                res = driver.process(grid, imu_win(b))
+            est.append(np.asarray(res.pose.t))
+            metrics.log_scan(n, res, 0.0)
+            n += 1
+            if args.max_scans and n >= args.max_scans:
+                break
+        final_state = driver.state
+    elif args.engine == "liosam":
+        from agi_lidar_slam_tpu.runtime.liosam_pipeline import (
+            LioSamConfig, LioSamDriver)
+        from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig
+
+        pcfg = {"aloam": preset_aloam_kitti64, "sim16": preset_sim16,
+                "lego": preset_lego_vlp16}[args.preset]()
+        cfg = LioSamConfig(slam=SlamConfig(pipeline=pcfg))
+        rings = args.rings or 16
+        driver = LioSamDriver(cfg)
+        for b in stream:
+            grid = bundle_to_grid(b, rings, args.width, args.fov_up, args.fov_down)
+            with timer.stage("scan"):
+                res = driver.process(grid, imu_win(b))
+            est.append(np.asarray(res.pose.t))
+            metrics.log_scan(n, res, 0.0)
+            n += 1
+            if args.max_scans and n >= args.max_scans:
+                break
+        final_state = driver.state.engine
+    else:  # odom / slam on bag clouds (no IMU needed)
+        from agi_lidar_slam_tpu.runtime.pipeline import init_state, process_scan
+        from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig, SlamDriver
+
+        pcfg = {"aloam": preset_aloam_kitti64, "sim16": preset_sim16,
+                "lego": preset_lego_vlp16}[args.preset]()
+        rings = args.rings or 16
+        if args.engine == "slam":
+            driver = SlamDriver(SlamConfig(pipeline=pcfg))
+        else:
+            state = init_state(pcfg)
+        for b in stream:
+            grid = bundle_to_grid(b, rings, args.width, args.fov_up, args.fov_down)
+            with timer.stage("scan"):
+                if driver is not None:
+                    res = driver.process(grid)
+                else:
+                    state, res = process_scan(state, grid, pcfg)
+            est.append(np.asarray(res.pose.t))
+            metrics.log_scan(n, res, 0.0)
+            n += 1
+            if args.max_scans and n >= args.max_scans:
+                break
+        final_state = driver.state.engine if driver is not None else state
+
+    wall = time.perf_counter() - t_start
+    if n == 0:
+        print("no lidar messages found in bag")
+        return 1
+    est = np.stack(est)
+    print(f"processed {n} scans in {wall:.2f}s ({n / wall:.2f} scans/s)")
+    print("stage timing:", timer.summary())
+    if args.traj_out:
+        with open(args.traj_out, "w") as f:
+            for p in est:
+                M = np.eye(4)
+                M[:3, 3] = p
+                f.write(" ".join(f"{v:.6e}" for v in M[:3].reshape(-1)) + "\n")
+        print("trajectory written:", args.traj_out)
+    if args.save_map and args.engine in ("odom", "slam", "liosam"):
+        from agi_lidar_slam_tpu.io.checkpoint import save_map_bundle
+
+        save_map_bundle(args.save_map, final_state, trajectory=est)
         print("maps written:", args.save_map)
     metrics.close()
     return 0
