@@ -134,18 +134,18 @@ def _edge_terms(q: jnp.ndarray, t: jnp.ndarray, e: EdgeSet):
     return r, Ji, Jj, w
 
 
-def solve_pose_graph(
-    poses: se3.Pose,  # (K,) batched
-    n_nodes: jnp.ndarray,  # () live node count
-    edges: EdgeSet,
-    n_gn_iters: int = 5,
-    n_cg_iters: int = 30,
-    anchor_weight: float = 1e6,
-    damping: float = 1e-3,
-) -> se3.Pose:
-    """Full GN re-solve of the graph. Nodes >= n_nodes are frozen."""
-    K = poses.q.shape[0]
+def _solve_body(q0, t0, n_nodes, edges, n_gn_iters, n_cg_iters, anchor_weight,
+                damping, axis_name=None):
+    """GN body. With `axis_name`, the edge axis is SHARDED across that mesh
+    axis: each device holds an edge range, and the per-node reductions (g,
+    block-diagonal, Hv) complete with one psum — the keyframe-graph scale-out
+    of SURVEY.md section 5.7/5.8 (iSAM2 has no analog of this). The CG state
+    itself is replicated (identical deterministic iterations per device)."""
+    K = q0.shape[0]
     live = (jnp.arange(K) < n_nodes)
+
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     def gn_iter(_, carry):
         q, t = carry
@@ -154,7 +154,7 @@ def solve_pose_graph(
         # gradient: g = sum_e J^T W r, scatter-added per node
         gi = jnp.einsum("eri,er->ei", Ji, w * r)
         gj = jnp.einsum("eri,er->ei", Jj, w * r)
-        g = jnp.zeros((K, 6)).at[edges.i].add(gi).at[edges.j].add(gj)
+        g = allsum(jnp.zeros((K, 6)).at[edges.i].add(gi).at[edges.j].add(gj))
         # anchor node 0 (strong prior at current estimate => zero residual,
         # contributes only to H's diagonal)
         anchor = jnp.zeros((K,)).at[0].set(anchor_weight)
@@ -162,7 +162,7 @@ def solve_pose_graph(
         # block-diagonal of H for the preconditioner
         Hii = jnp.einsum("eri,er,erj->eij", Ji, w, Ji)
         Hjj = jnp.einsum("eri,er,erj->eij", Jj, w, Jj)
-        D = jnp.zeros((K, 6, 6)).at[edges.i].add(Hii).at[edges.j].add(Hjj)
+        D = allsum(jnp.zeros((K, 6, 6)).at[edges.i].add(Hii).at[edges.j].add(Hjj))
         D = D + (damping + anchor[:, None, None]) * jnp.eye(6)
         D_inv = jnp.linalg.inv(D + 1e-6 * jnp.eye(6))
 
@@ -173,7 +173,8 @@ def solve_pose_graph(
             Jv = Jv * w
             out_i = jnp.einsum("erc,er->ec", Ji, Jv)
             out_j = jnp.einsum("erc,er->ec", Jj, Jv)
-            out = jnp.zeros((K, 6)).at[edges.i].add(out_i).at[edges.j].add(out_j)
+            out = allsum(
+                jnp.zeros((K, 6)).at[edges.i].add(out_i).at[edges.j].add(out_j))
             return out + (damping + anchor[:, None]) * v
 
         def Mv(v):
@@ -186,7 +187,56 @@ def solve_pose_graph(
         t_new = t + delta[:, 3:]
         return q_new, t_new
 
-    q, t = jax.lax.fori_loop(0, n_gn_iters, gn_iter, (poses.q, poses.t))
+    return jax.lax.fori_loop(0, n_gn_iters, gn_iter, (q0, t0))
+
+
+def solve_pose_graph(
+    poses: se3.Pose,  # (K,) batched
+    n_nodes: jnp.ndarray,  # () live node count
+    edges: EdgeSet,
+    n_gn_iters: int = 5,
+    n_cg_iters: int = 30,
+    anchor_weight: float = 1e6,
+    damping: float = 1e-3,
+) -> se3.Pose:
+    """Full GN re-solve of the graph. Nodes >= n_nodes are frozen."""
+    q, t = _solve_body(poses.q, poses.t, n_nodes, edges, n_gn_iters,
+                       n_cg_iters, anchor_weight, damping)
+    return se3.Pose(q, t)
+
+
+def sharded_solve_pose_graph(
+    mesh,
+    poses: se3.Pose,
+    n_nodes: jnp.ndarray,
+    edges: EdgeSet,
+    axis: str = "dp",
+    n_gn_iters: int = 5,
+    n_cg_iters: int = 30,
+    anchor_weight: float = 1e6,
+    damping: float = 1e-3,
+) -> se3.Pose:
+    """Distributed graph solve: edges shard across `axis` (node state
+    replicated), per-node reductions psum over ICI/DCN. Exact same result as
+    `solve_pose_graph` (tested). Edge capacity must divide the axis size."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    espec = EdgeSet(i=P(axis), j=P(axis), z_q=P(axis), z_t=P(axis),
+                    w_rot=P(axis), w_trans=P(axis), kind=P(axis),
+                    valid=P(axis), count=P())
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), espec), out_specs=(P(), P()),
+        check_vma=False,  # outputs replicate via the psum'd reductions
+    )
+    def run(q0, t0, nn, e):
+        return _solve_body(q0, t0, nn, e, n_gn_iters, n_cg_iters,
+                           anchor_weight, damping, axis_name=axis)
+
+    q, t = run(poses.q, poses.t, n_nodes, edges)
     return se3.Pose(q, t)
 
 

@@ -86,6 +86,30 @@ class TestPoseGraph:
         np.testing.assert_allclose(np.asarray(out.t), np.asarray(gt.t), atol=0.05)
 
 
+class TestShardedPoseGraph:
+    def test_matches_single_device_solve(self):
+        from jax.sharding import Mesh
+
+        from agi_lidar_slam_tpu.graph.pose_graph import sharded_solve_pose_graph
+
+        gt = make_ring_poses(12)
+        edges = empty_edges(64)  # divides 8 devices
+        for k in range(11):
+            z = between_measurement(se3.Pose(gt.q[k], gt.t[k]),
+                                    se3.Pose(gt.q[k + 1], gt.t[k + 1]))
+            edges = add_edge(edges, k, k + 1, z, 100.0, 100.0)
+        # noisy start so the solve does real work
+        noisy = se3.Pose(gt.q, gt.t + jnp.asarray(
+            np.random.RandomState(0).randn(12, 3) * 0.2, jnp.float32))
+        ref = solve_pose_graph(noisy, jnp.int32(12), edges)
+        mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("dp",))
+        out = sharded_solve_pose_graph(mesh, noisy, jnp.int32(12), edges)
+        np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.q), np.asarray(ref.q),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestKeyframeBank:
     def test_gating_and_add(self):
         bank = empty_bank(8, 4, 4)
