@@ -46,6 +46,10 @@ class MapConfig:
     claim_rounds: int = 8  # insert conflict-resolution rounds (early-exit)
     neighborhood: str = "octant8"  # KNN block set: "octant8" (coverage =
     # block_size/2, fast) or "full27" (coverage = block_size)
+    # association kernel: "auto" picks the VMEM-resident Pallas kernel
+    # (nn/vmem_knn.py) on TPU for octant8 tables that fit VMEM, else the XLA
+    # gather path (nn/knn.py); "xla"/"pallas"/"pallas_interpret" force one.
+    knn_kernel: str = "auto"
 
     @property
     def slots(self) -> int:
@@ -82,8 +86,15 @@ class PipelineConfig:
     # NOTE: KNN coverage radius is block_size/2 for octant8 and block_size for
     # full27; it must be >= sqrt(gate_sq) of the solver.
     features: FeatureConfig = FeatureConfig()
-    corner_map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=15)
-    surf_map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=17)
+    # table sizes follow the BOUNDED live map (bound_radius), not the whole
+    # trajectory: a 120-150 m rolling map holds ~1-4k live blocks, so 4k/8k
+    # slot tables at <=50% load suffice — and at ~1 KB/row they fit VMEM,
+    # which is what lets the Pallas association kernel keep the entire map
+    # on-chip (nn/vmem_knn.py). probes=8 gives the chains margin at 50% load.
+    corner_map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=12,
+                                      probes=8)
+    surf_map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=13,
+                                    probes=8)
     solver: SolverConfig = SolverConfig()
     # scan-to-map consumes voxel-downsampled features (laserMapping.cpp:760-775)
     corner_ds_voxel: float = 0.4

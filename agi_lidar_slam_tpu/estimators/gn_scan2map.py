@@ -32,8 +32,15 @@ from ..config import MapConfig, SolverConfig
 from ..fit.geometry_fit import fit_lines, fit_planes
 from ..geometry import se3, so3
 from ..map.hash_map import HashVoxelMap
-from ..nn.knn import knn
+from ..map.planar import build_planar
+from ..nn.knn import _vmem_kernel_mode, knn
 from ..pointcloud.cloud import PointBatch
+
+
+def _maybe_tab(m: HashVoxelMap, cfg: MapConfig):
+    """Planar table for the VMEM association kernel, or None on XLA paths.
+    Built once per map epoch so every association pass reuses it."""
+    return build_planar(m, cfg) if _vmem_kernel_mode(cfg)[0] else None
 
 
 class GnStats(NamedTuple):
@@ -68,19 +75,21 @@ def associate(
     cmap_cfg: MapConfig,
     smap_cfg: MapConfig,
     cfg: SolverConfig,
+    corner_tab: jnp.ndarray | None = None,
+    surf_tab: jnp.ndarray | None = None,
 ) -> Correspondences:
     """One association pass: KNN + line/plane fits at the current pose."""
     R = so3.quat_to_matrix(pose.q)
     k = cfg.k_neighbors
 
     cw = corners.xyz @ R.T + pose.t
-    nc = knn(corner_map, cw, corners.mask, k, cmap_cfg)
+    nc = knn(corner_map, cw, corners.mask, k, cmap_cfg, tab=corner_tab)
     gate_c = nc.sq_dists[:, k - 1] < cfg.corner_gate_sq
     line = fit_lines(nc.points, nc.valid, cfg.line_eig_ratio)
     ok_c = corners.mask & gate_c & line.ok
 
     sw = surfs.xyz @ R.T + pose.t
-    ns = knn(surf_map, sw, surfs.mask, k, smap_cfg)
+    ns = knn(surf_map, sw, surfs.mask, k, smap_cfg, tab=surf_tab)
     gate_s = ns.sq_dists[:, k - 1] < cfg.surf_gate_sq
     plane = fit_planes(ns.points, ns.valid, cfg.plane_tol)
     ok_s = surfs.mask & gate_s & plane.ok
@@ -169,11 +178,13 @@ def solve_scan2map(
     cfg: SolverConfig,
 ):
     """Iterated GN from initial guess pose0. Returns (pose, GnStats)."""
+    corner_tab = _maybe_tab(corner_map, cmap_cfg)
+    surf_tab = _maybe_tab(surf_map, smap_cfg)
 
     def outer(_, carry):
         pose, _ = carry
         corr = associate(pose, corners, surfs, corner_map, surf_map,
-                         cmap_cfg, smap_cfg, cfg)
+                         cmap_cfg, smap_cfg, cfg, corner_tab, surf_tab)
 
         def inner(_, carry2):
             pose, _ = carry2

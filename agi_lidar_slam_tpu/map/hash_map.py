@@ -93,6 +93,21 @@ def _hash(bc: jnp.ndarray, log2_slots: int) -> jnp.ndarray:
     return (h & jnp.int32(0x7FFFFFFF)) & jnp.int32((1 << log2_slots) - 1)
 
 
+def probe_base(bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
+    """Start row of a block's probe window.
+
+    When `probes` is a power of two the base is aligned to the probe length,
+    making the table set-associative (disjoint groups of `probes` slots).
+    Alignment lets the Pallas association kernel (nn/vmem_knn.py) read a
+    whole window as one aligned (probes, L) vector load — Mosaic requires
+    dynamic sublane offsets to be provably 8-aligned. Non-power-of-two probe
+    lengths keep the original sliding-window behavior (XLA paths only)."""
+    h = _hash(bc, cfg.log2_slots)
+    if cfg.probes & (cfg.probes - 1) == 0:
+        return h & jnp.int32(~(cfg.probes - 1))
+    return h
+
+
 def block_coords(xyz: jnp.ndarray, cfg: MapConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Points (...,3) -> (block coord (...,3) int32, sub-voxel id (...,) int32)."""
     sv = jnp.floor(xyz / cfg.sub_voxel).astype(jnp.int32)
@@ -117,7 +132,7 @@ def lookup(keys: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
     """Slot of each queried block coord, or -1 if absent. bc (...,3) any batch shape."""
     shape = bc.shape[:-1]
     bc_flat = bc.reshape(-1, 3)
-    h = _hash(bc_flat, cfg.log2_slots)
+    h = probe_base(bc_flat, cfg)
     win = _key_windows(keys, h, cfg)  # (N,P,3)
     match = jnp.all(win == bc_flat[:, None, :], axis=-1)  # (N,P)
     p_idx = jnp.argmax(match, axis=-1)  # first match
@@ -129,7 +144,7 @@ def lookup(keys: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
 def _first_empty(keys: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
     """First empty probe slot for each block coord, or -1 if the chain is full."""
     bc_flat = bc.reshape(-1, 3)
-    h = _hash(bc_flat, cfg.log2_slots)
+    h = probe_base(bc_flat, cfg)
     win = _key_windows(keys, h, cfg)
     is_empty = win[..., 0] == EMPTY_KEY  # (N,P)
     p_idx = jnp.argmax(is_empty, axis=-1)

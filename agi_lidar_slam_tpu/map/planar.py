@@ -1,0 +1,57 @@
+"""Planar (kernel-friendly) view of the hashed voxel-block map.
+
+The association hot path (nn/vmem_knn.py) keeps the WHOLE map table resident
+in VMEM and probes it with on-chip reads — the TPU-native answer to the
+reference's per-point kd-tree descents (S-FAST_LIO ikd_Tree.cpp:370 /
+A-LOAM laserMapping.cpp:645). That requires a lane-aligned, single-array
+layout instead of HashVoxelMap's (rows, B, 3) + (rows, B) pair:
+
+    row r (one voxel block), lanes:
+      [0,   B)   X coordinates of the B sub-voxel points
+      [B,  2B)   Y
+      [2B, 3B)   Z
+      [3B, 3B+3) block coordinate key, int32 bitcast to f32
+      [3B+3, L)  zero padding up to the lane-tile multiple L
+
+Empty sub-voxels hold the poison coordinate -1e9 so their squared distance
+to any real query is ~1e18 — masking by distance instead of by an occupancy
+plane saves a third of the in-kernel work. Queries are poisoned at +1e9 by
+the caller, so (invalid query, empty slot) pairs still produce huge
+distances instead of an accidental zero.
+
+Building the view is pure elementwise/concat work (no gathers): ~tens of µs
+for the production table sizes, done once per scan and reused by every
+association pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MapConfig
+from .hash_map import HashVoxelMap
+
+POISON_POINT = -1.0e9  # empty sub-voxel coordinate
+POISON_QUERY = 1.0e9  # invalid-query coordinate (callers)
+# any candidate with sq_dist above this is a poison pairing, not geometry
+VALID_SQ_LIMIT = 1.0e17
+
+
+def planar_lanes(cfg: MapConfig) -> int:
+    """Lane width of one planar row: 3B point lanes + 3 key lanes, padded to
+    the f32 lane tile (128)."""
+    need = 3 * cfg.bucket + 3
+    return max(128, ((need + 127) // 128) * 128)
+
+
+def build_planar(m: HashVoxelMap, cfg: MapConfig) -> jnp.ndarray:
+    """HashVoxelMap -> (rows, L) f32 planar table (see module docstring)."""
+    B = m.bucket
+    L = planar_lanes(cfg)
+    coords = [
+        jnp.where(m.occ, m.points[:, :, i], POISON_POINT) for i in range(3)
+    ]  # 3 x (rows, B)
+    keys_f = jax.lax.bitcast_convert_type(m.keys, jnp.float32)  # (rows, 3)
+    pad = jnp.zeros((m.n_rows, L - 3 * B - 3), jnp.float32)
+    return jnp.concatenate(coords + [keys_f, pad], axis=1)

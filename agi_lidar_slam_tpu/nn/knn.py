@@ -109,9 +109,39 @@ def _dedup_lookup(m: HashVoxelMap, nbr: jnp.ndarray, qmask: jnp.ndarray,
     return slot_flat.reshape(N, M)
 
 
+def _vmem_kernel_mode(cfg: MapConfig):
+    """Resolve MapConfig.knn_kernel -> (use Pallas kernel?, interpret?).
+
+    "auto" picks the VMEM-resident kernel on TPU for octant8 tables small
+    enough to sit on-chip (~12 MB leaves room for the candidate scratch)."""
+    aligned = cfg.probes % 8 == 0 and cfg.probes & (cfg.probes - 1) == 0
+    if cfg.neighborhood != "octant8" or not aligned or cfg.knn_kernel == "xla":
+        return False, False
+    if cfg.knn_kernel == "pallas":
+        return True, False
+    if cfg.knn_kernel == "pallas_interpret":
+        return True, True
+    from ..map.planar import planar_lanes  # local import: avoid cycle
+
+    rows = ((cfg.slots + cfg.probes + 1 + 255) // 256) * 256
+    fits = rows * planar_lanes(cfg) * 4 <= 12 * 2**20
+    return (fits and jax.default_backend() == "tpu"), False
+
+
 def knn(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray, k: int,
-        cfg: MapConfig) -> KnnResult:
-    """k nearest map points for each query. queries (N,3), qmask (N,)."""
+        cfg: MapConfig, tab: jnp.ndarray | None = None) -> KnnResult:
+    """k nearest map points for each query. queries (N,3), qmask (N,).
+
+    `tab` is an optional prebuilt planar table (map/planar.build_planar) for
+    the Pallas kernel path; callers running several association passes per
+    map epoch build it once and thread it through."""
+    use_vmem, interpret = _vmem_kernel_mode(cfg)
+    if use_vmem:
+        from .vmem_knn import knn_vmem  # local import: keeps CPU paths light
+
+        sq, pts, valid = knn_vmem(m, queries, qmask, k, cfg, tab=tab,
+                                  interpret=interpret)
+        return KnnResult(pts, sq, valid)
     bc, _ = block_coords(queries, cfg)
     nbr = _neighbor_blocks(queries, bc, cfg)  # (N,M,3)
     slot = _dedup_lookup(m, nbr, qmask, cfg)  # (N,M)

@@ -1,15 +1,10 @@
 #!/usr/bin/env python
-"""Per-stage throughput attribution on the real chip.
+"""Per-stage timing of the odometry hot path on the real chip.
 
-Each stage is timed with the chained-iteration + value-fetch pattern
-(`lax.fori_loop` with a synthetic data dependence between repetitions, then a
-scalar fetch) because `block_until_ready` is not a reliable barrier on the
-tunneled PJRT backend this container uses. See tpu-perf notes in bench.py.
-
-Usage: timeout 580 python tools/profile_stages.py [--reps 20]
+Times each pipeline stage as its own jitted function (same configs/shapes as
+bench.py) so optimization work targets the real bottleneck. Not a test; a tool.
 """
 
-import argparse
 import os
 import sys
 import time
@@ -17,113 +12,124 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                               ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import functools
+
 import jax.numpy as jnp
 
 from agi_lidar_slam_tpu.config import preset_aloam_kitti64
-from agi_lidar_slam_tpu.estimators.gn_scan2map import (
-    associate,
-    normal_equations,
-    solve_delta,
-)
+from agi_lidar_slam_tpu.estimators.gn_scan2map import (associate,
+                                                       normal_equations,
+                                                       solve_scan2map)
 from agi_lidar_slam_tpu.features.curvature import extract_features
 from agi_lidar_slam_tpu.geometry import se3, so3
-from agi_lidar_slam_tpu.map.hash_map import bound_map, insert
+from agi_lidar_slam_tpu.map.hash_map import bound_map, insert_with_stats
 from agi_lidar_slam_tpu.nn.knn import knn
-from agi_lidar_slam_tpu.pointcloud.cloud import PointBatch
 from agi_lidar_slam_tpu.pointcloud.voxel import voxel_downsample
-from agi_lidar_slam_tpu.runtime.pipeline import (
-    deskew_constant_velocity,
-    init_state,
-    process_scan,
-)
-
-from bench import make_scans  # noqa: E402  (repo-root bench harness)
+from agi_lidar_slam_tpu.runtime.pipeline import (deskew_constant_velocity,
+                                                 init_state, process_scan)
+from bench import make_scans
 
 
-def timed(name, fn, *args, reps=20, fetch=None):
-    """fn must return something whose first leaf feeds the chain."""
-    out = fn(*args)  # compile + warm
-    leaf = jax.tree.leaves(out)[0]
-    float(jnp.sum(leaf) * 0)
-
-    @jax.jit
-    def chained(*a):
-        def body(i, carry):
-            o = fn(*a)
-            l0 = jax.tree.leaves(o)[0]
-            return carry + jnp.sum(l0).astype(jnp.float32) * 1e-30
-
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
-
-    r = chained(*args)
-    float(r)
+def timeit(name, fn, *args, reps=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    # force a real sync through a scalar fetch (tunneled PJRT)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.asarray(leaf).reshape(-1)[0])
     t0 = time.perf_counter()
-    r = chained(*args)
-    float(r)
+    for _ in range(reps):
+        out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.asarray(leaf).reshape(-1)[0])
     dt = (time.perf_counter() - t0) / reps
-    print(f"{name:32s} {dt*1e3:8.3f} ms")
-    return dt
+    print(f"{name:40s} {dt*1e3:8.2f} ms")
+    return out
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=20)
-    args = ap.parse_args()
-
     cfg = preset_aloam_kitti64()
-    scans = [jax.device_put(s) for s in make_scans(4)]
+    scans = [jax.device_put(s) for s in make_scans()]
     state = init_state(cfg)
-    for s in scans:
+    for s in scans[:4]:
         state, res = process_scan(state, s, cfg)
     float(res.pose.t[0])
-    scan = scans[-1]
+    scan = scans[4]
     pose = state.pose
-    cmap, smap = state.corner_map, state.surf_map
+    rel = se3.compose(se3.inverse(state.prev_pose), state.pose)
 
-    feats = extract_features(scan, cfg.features)
-    corners = voxel_downsample(feats.corners.xyz, feats.corners.mask,
-                               cfg.corner_ds_voxel, cfg.features.max_corners)
-    surfs = voxel_downsample(feats.surfs.xyz, feats.surfs.mask,
-                             cfg.surf_ds_voxel, cfg.features.max_surfs)
-    print(f"n_corners={int(corners.mask.sum())} n_surfs={int(surfs.mask.sum())} "
-          f"c_cap={corners.xyz.shape[0]} s_cap={surfs.xyz.shape[0]}")
+    print(f"map blocks: corner={int(state.corner_map.num_blocks())} "
+          f"surf={int(state.surf_map.num_blocks())}")
 
-    R = args.reps
-    timed("deskew", lambda s: deskew_constant_velocity(s, pose).xyz, scan, reps=R)
-    timed("features(extract)", lambda s: extract_features(s, cfg.features).surfs.xyz,
-          scan, reps=R)
-    timed("features+downsample", lambda s: voxel_downsample(
-        extract_features(s, cfg.features).surfs.xyz,
-        extract_features(s, cfg.features).surfs.mask,
-        cfg.surf_ds_voxel, cfg.features.max_surfs).xyz, scan, reps=R)
-    timed("knn corner (2048q)", lambda q, m: knn(m, q, corners.mask, 5,
-                                                 cfg.corner_map).sq_dists,
-          corners.xyz, cmap, reps=R)
-    timed("knn surf (8192q)", lambda q, m: knn(m, q, surfs.mask, 5,
-                                               cfg.surf_map).sq_dists,
-          surfs.xyz, smap, reps=R)
-    timed("associate (both maps)", lambda p: associate(
-        se3.Pose(p.q, p.t), corners, surfs, cmap, smap,
-        cfg.corner_map, cfg.surf_map, cfg.solver).line_centroid, pose, reps=R)
+    dsk = timeit("deskew", jax.jit(deskew_constant_velocity), scan, rel)
+    feats = timeit("features", jax.jit(functools.partial(extract_features, cfg=cfg.features)), dsk)
+    corners = timeit(
+        "downsample corners",
+        jax.jit(lambda x, m: voxel_downsample(x, m, cfg.corner_ds_voxel, cfg.features.max_corners)),
+        feats.corners.xyz, feats.corners.mask)
+    surfs = timeit(
+        "downsample surfs",
+        jax.jit(lambda x, m: voxel_downsample(x, m, cfg.surf_ds_voxel, cfg.features.max_surfs)),
+        feats.surfs.xyz, feats.surfs.mask)
 
-    corr = associate(pose, corners, surfs, cmap, smap, cfg.corner_map,
-                     cfg.surf_map, cfg.solver)
+    R = so3.quat_to_matrix(pose.q)
+    cw = corners.xyz @ R.T + pose.t
+    sw = surfs.xyz @ R.T + pose.t
+    print(f"corners N={corners.xyz.shape[0]} valid={int(corners.mask.sum())}; "
+          f"surfs N={surfs.xyz.shape[0]} valid={int(surfs.mask.sum())}")
 
-    def inner(p):
-        H, g, _ = normal_equations(p, corners, surfs, corr, cfg.solver)
-        d, _ = solve_delta(H, g, cfg.solver)
-        return d
+    timeit("knn corners (1 pass)",
+           jax.jit(functools.partial(knn, k=cfg.solver.k_neighbors, cfg=cfg.corner_map)),
+           state.corner_map, cw, corners.mask)
+    timeit("knn surfs (1 pass)",
+           jax.jit(functools.partial(knn, k=cfg.solver.k_neighbors, cfg=cfg.surf_map)),
+           state.surf_map, sw, surfs.mask)
 
-    timed("normal_eq+solve (1 inner)", inner, pose, reps=R)
-    timed("insert surf (8192)", lambda xyz: insert(
-        smap, xyz, surfs.mask, cfg.surf_map).occ, surfs.xyz, reps=R)
-    timed("bound_map surf", lambda t: bound_map(smap, t, 150.0, cfg.surf_map).occ,
-          pose.t, reps=R)
-    # copy the state per call: process_scan donates its state argument, and the
-    # eager warmup call would otherwise delete the profiler's copy
-    timed("full process_scan",
-          lambda s: process_scan(jax.tree.map(jnp.array, state), s, cfg)[1].pose.t,
-          scan, reps=max(4, R // 2))
+    corr = timeit(
+        "associate (knn+fits, both classes)",
+        jax.jit(functools.partial(associate, cmap_cfg=cfg.corner_map,
+                                  smap_cfg=cfg.surf_map, cfg=cfg.solver)),
+        pose, corners, surfs, state.corner_map, state.surf_map)
+
+    timeit("normal_equations (1 linearize)",
+           jax.jit(functools.partial(normal_equations, cfg=cfg.solver)),
+           pose, corners, surfs, corr)
+
+    timeit(f"solve_scan2map (outer={cfg.solver.n_outer} inner={cfg.solver.n_inner})",
+           jax.jit(functools.partial(solve_scan2map, cmap_cfg=cfg.corner_map,
+                                     smap_cfg=cfg.surf_map, cfg=cfg.solver)),
+           pose, corners, surfs, state.corner_map, state.surf_map)
+
+    timeit("insert corners",
+           jax.jit(functools.partial(insert_with_stats, cfg=cfg.corner_map)),
+           state.corner_map, cw, corners.mask)
+    timeit("insert surfs",
+           jax.jit(functools.partial(insert_with_stats, cfg=cfg.surf_map)),
+           state.surf_map, sw, surfs.mask)
+    timeit("bound_map surf",
+           jax.jit(functools.partial(bound_map, radius=cfg.bound_radius, cfg=cfg.surf_map)),
+           state.surf_map, pose.t)
+
+    # whole pipeline for reference
+    st = state
+    def step(st, s):
+        return process_scan(st, s, cfg)
+    st, r = step(st, scan)
+    float(r.pose.t[0])
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(5):
+        for s in scans[4:]:
+            st, r = step(st, s)
+            n += 1
+    float(r.pose.t[0])
+    dt = (time.perf_counter() - t0) / n
+    print(f"{'process_scan (full)':40s} {dt*1e3:8.2f} ms   ({1/dt:.1f} scans/s)")
 
 
 if __name__ == "__main__":
