@@ -42,7 +42,10 @@ class MapConfig:
     log2_slots: int = 18  # hash table has 2**log2_slots blocks
     sub_voxel: float = 0.4  # map resolution: at most one point per sub-voxel
     block_sub: int = 2  # sub-voxels per block edge (block = sub_voxel*block_sub)
-    probes: int = 4  # linear-probe length (keep table load <= 25%)
+    probes: int = 8  # linear-probe length (keep table load <= 25%; a full
+    # chain permanently drops one block, so 8 keeps that probability
+    # negligible at production load — and the Pallas KNN kernel requires a
+    # multiple of 8)
     claim_rounds: int = 8  # insert conflict-resolution rounds (early-exit)
     neighborhood: str = "octant8"  # KNN block set: "octant8" (coverage =
     # block_size/2, fast) or "full27" (coverage = block_size)
@@ -91,9 +94,17 @@ class PipelineConfig:
     # slot tables at <=50% load suffice — and at ~1 KB/row they fit VMEM,
     # which is what lets the Pallas association kernel keep the entire map
     # on-chip (nn/vmem_knn.py). probes=8 gives the chains margin at 50% load.
-    corner_map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=12,
+    # <=25% table load keeps the aligned 8-way probe groups' overflow-drop
+    # rate negligible (<0.01% of blocks; the set-associative layout the
+    # Pallas kernel needs drops blocks whose group fills)
+    corner_map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=13,
                                       probes=8)
-    surf_map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=13,
+    # 0.6 m sub-voxels (between A-LOAM's 0.8 plane_res and the 0.5 corner
+    # res) make 2.4 m blocks: octant8 coverage 1.2 m with margin over the
+    # 1.0 m gate, while keeping the 64-point bucket whose (rows, 64, 3)
+    # layout XLA tiles cleanly (bucket 27 measured ~0.5 ms/scan slower on
+    # the insert/scatter side despite a smaller association copy)
+    surf_map: MapConfig = MapConfig(sub_voxel=0.6, block_sub=4, log2_slots=14,
                                     probes=8)
     solver: SolverConfig = SolverConfig()
     # scan-to-map consumes voxel-downsampled features (laserMapping.cpp:760-775)

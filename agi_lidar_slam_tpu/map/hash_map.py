@@ -84,28 +84,36 @@ def empty_map(cfg: MapConfig) -> HashVoxelMap:
 
 def _hash(bc: jnp.ndarray, log2_slots: int) -> jnp.ndarray:
     """Spatial hash of integer block coords (...,3) -> slot in [0, 2**log2_slots).
-    Classic large-prime XOR hash; int32 wraparound is deterministic on XLA."""
+
+    Large-prime XOR mix plus a murmur-style avalanche finalizer. The
+    finalizer matters: without it the LOW bits of x*prime are linear in x
+    (x*p mod 2^k = x*(p mod 2^k)), so small symmetric coordinates — exactly
+    what a near-origin scan produces — collide in structured families, and
+    the probe-aligned set-associative groups (probe_base) turn those
+    collisions into dropped blocks at a few percent table load. int32
+    wraparound is deterministic on XLA."""
     h = (
         bc[..., 0] * jnp.int32(73856093)
         ^ bc[..., 1] * jnp.int32(19349663)
         ^ bc[..., 2] * jnp.int32(83492791)
     )
-    return (h & jnp.int32(0x7FFFFFFF)) & jnp.int32((1 << log2_slots) - 1)
+    u = h & jnp.int32(0x7FFFFFFF)
+    u = u ^ (u >> 15)
+    u = (u * jnp.int32(0x2C1B3C6D)) & jnp.int32(0x7FFFFFFF)
+    u = u ^ (u >> 12)
+    return u & jnp.int32((1 << log2_slots) - 1)
 
 
 def probe_base(bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
-    """Start row of a block's probe window.
+    """Start row of a block's probe window: the sliding window [h, h+probes).
 
-    When `probes` is a power of two the base is aligned to the probe length,
-    making the table set-associative (disjoint groups of `probes` slots).
-    Alignment lets the Pallas association kernel (nn/vmem_knn.py) read a
-    whole window as one aligned (probes, L) vector load — Mosaic requires
-    dynamic sublane offsets to be provably 8-aligned. Non-power-of-two probe
-    lengths keep the original sliding-window behavior (XLA paths only)."""
-    h = _hash(bc, cfg.log2_slots)
-    if cfg.probes & (cfg.probes - 1) == 0:
-        return h & jnp.int32(~(cfg.probes - 1))
-    return h
+    Sliding (unaligned) windows let neighboring chains share overflow slots,
+    so the table tolerates far higher load than aligned set-associative
+    groups (an aligned variant measurably dropped blocks at <10% load). The
+    Pallas association kernel needs 8-aligned vector loads, so it reads an
+    aligned SUPERSET window [h & ~7, h & ~7 + probes + 8) and lets its key
+    match pick the right row (nn/vmem_knn.py)."""
+    return _hash(bc, cfg.log2_slots)
 
 
 def block_coords(xyz: jnp.ndarray, cfg: MapConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -141,6 +149,89 @@ def lookup(keys: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
     return slot.reshape(shape)
 
 
+def lookup_dedup(keys: jnp.ndarray, bc: jnp.ndarray, valid: jnp.ndarray,
+                 cfg: MapConfig, claim: bool = False):
+    """`lookup` with cross-batch deduplication: distinct block coords are
+    probed once. bc (K,3), valid (K,) -> slot (K,) (-1 where absent/invalid).
+
+    Nearby points share blocks (a scan's 8k inserts hit <1k distinct blocks;
+    KNN neighborhoods overlap heavily), so probing each distinct coord once
+    cuts the dominant probe-window gather row count ~10x. Distinct coords are
+    found by sorting packed 30-bit keys. To keep the pack exact on arbitrarily
+    long trajectories, coords are recentered on the minimum coordinate of the
+    *valid* entries before packing (one scan spans far fewer than 1024 blocks
+    per axis); anything outside the 1024-block window — only possible for
+    masked/garbage entries — gets a sentinel key and resolves to 'absent'
+    instead of aliasing with a real block.
+    """
+    K = bc.shape[0]
+    # unique capacity: 4x the entry count with a 4096 floor covers sparse
+    # batches with margin; overflow falls back to 'absent'
+    U = min(K, max(K // 2, 4096))
+    qbc = jnp.where(valid[:, None], bc, jnp.int32(2**20))
+    base = jnp.min(qbc, axis=0)  # (3,)
+    base = jnp.where(base == 2**20, 0, base)  # all-masked batch: any base works
+    rel = bc - base[None, :]
+    in_range = jnp.all((rel >= 0) & (rel < 1024), axis=1) & valid
+    relc = jnp.clip(rel, 0, 1023)
+    packed = jnp.where(
+        in_range,
+        (relc[:, 0] << 20) | (relc[:, 1] << 10) | relc[:, 2],
+        jnp.int32(1 << 30),  # sentinel: sorts after every valid key
+    )
+    order = jnp.argsort(packed)
+    ps = packed[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), ps[1:] != ps[:-1]])
+    uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1  # (K,)
+    ok_u = (uid_sorted < U) & in_range[order]
+    # representative coords per unique id
+    ucoords = jnp.full((U + 1, 3), 2**20, jnp.int32).at[
+        jnp.where(first & ok_u, uid_sorted, U)
+    ].set(bc[order])
+    ureal = ucoords[:U, 0] != 2**20  # real distinct coords (not padding)
+    uc = ucoords[:U]
+
+    if claim:
+        # insert mode: claim a probe slot for each distinct ABSENT block (the
+        # claim set is per-BLOCK, so its cost is bounded by scan geometry,
+        # not point count — and conflict rounds never fight over duplicates).
+        # Concurrent claimers of one empty slot serialize by scatter-min of
+        # unique id; losers retry against the updated table. Blocks whose
+        # probe chain stays full are dropped (bounded lossiness; callers
+        # count the points).
+        dump = keys.shape[0] - 1
+        u_idx = jnp.arange(U, dtype=jnp.int32)
+
+        def claim_round(carry):
+            kys, _, rnd = carry
+            uslot = lookup(kys, uc, cfg)
+            nd = ureal & (uslot < 0)
+            cand = _first_empty(kys, uc, cfg)
+            attempt = nd & (cand >= 0)
+            cand_safe = jnp.where(attempt, cand, dump)
+            cl = jnp.full((keys.shape[0],), U, dtype=jnp.int32).at[
+                cand_safe].min(jnp.where(attempt, u_idx, U))
+            winner = attempt & (cl[cand_safe] == u_idx)
+            kys = kys.at[jnp.where(winner, cand, dump)].set(
+                jnp.where(winner[:, None], uc, kys[dump])
+            )
+            unresolved = jnp.any(attempt & ~winner)
+            return kys, unresolved, rnd + 1
+
+        # exit as soon as a round resolves every pending claim instead of
+        # always paying claim_rounds
+        keys, _, _ = jax.lax.while_loop(
+            lambda c: c[1] & (c[2] < cfg.claim_rounds),
+            claim_round,
+            claim_round((keys, jnp.bool_(True), jnp.int32(0))),
+        )
+
+    uslot = lookup(keys, uc, cfg)  # probe only distinct blocks
+    slot_sorted = jnp.where(ok_u, uslot[jnp.minimum(uid_sorted, U - 1)], -1)
+    slot = jnp.zeros((K,), jnp.int32).at[order].set(slot_sorted)
+    return (keys, slot) if claim else slot
+
+
 def _first_empty(keys: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:
     """First empty probe slot for each block coord, or -1 if the chain is full."""
     bc_flat = bc.reshape(-1, 3)
@@ -159,12 +250,12 @@ def insert_with_stats(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray,
 
     Existing sub-voxel occupants win (first-point-kept downsample, matching
     ikd-Tree's on-insert filtering). New blocks claim hash slots over
-    `claim_rounds` conflict-resolution rounds: concurrent claimers of the same
-    empty slot are serialized by a scatter-min of point index; losers retry on
-    the next round against the updated table. Points whose probe chain is full
-    are dropped (bounded lossiness, mirroring the reference's queue drains) —
-    `n_dropped` counts them so pipelines can surface silent geometry loss in
-    their metrics (a saturating table shows up as a rising drop count).
+    `claim_rounds` conflict-resolution rounds (lookup_dedup claim mode: one
+    claim per distinct block, scatter-min serialized). Points whose probe
+    chain is full are dropped (bounded lossiness, mirroring the reference's
+    queue drains) — `n_dropped` counts them so pipelines can surface silent
+    geometry loss in their metrics (a saturating table shows up as a rising
+    drop count).
     """
     N = xyz.shape[0]
     B = m.bucket
@@ -172,33 +263,13 @@ def insert_with_stats(m: HashVoxelMap, xyz: jnp.ndarray, mask: jnp.ndarray,
     bc, sub_id = block_coords(xyz, cfg)
     pt_idx = jnp.arange(N, dtype=jnp.int32)
 
-    def claim_round(carry):
-        keys, _, rnd = carry
-        slot = lookup(keys, bc, cfg)
-        need = mask & (slot < 0)
-        cand = _first_empty(keys, bc, cfg)
-        attempt = need & (cand >= 0)
-        cand_safe = jnp.where(attempt, cand, dump)
-        claim = jnp.full((m.n_rows,), N, dtype=jnp.int32).at[cand_safe].min(
-            jnp.where(attempt, pt_idx, N)
-        )
-        winner = attempt & (claim[cand_safe] == pt_idx)
-        keys = keys.at[jnp.where(winner, cand, dump)].set(
-            jnp.where(winner[:, None], bc, keys[dump])
-        )
-        # losers (attempted, lost the scatter-min) retry next round
-        unresolved = jnp.any(attempt & ~winner)
-        return keys, unresolved, rnd + 1
+    # dedup + claim in one pass: a scan's N points land in <<N distinct
+    # blocks, so each distinct block is probed once and each ABSENT distinct
+    # block claims its slot once (lookup_dedup claim mode) — both the lookup
+    # gathers and the claim conflict rounds scale with scan geometry, not
+    # point count
+    keys, slot = lookup_dedup(m.keys, bc, mask, cfg, claim=True)
 
-    # steady-state scans insert into mostly-existing blocks: exit as soon as a
-    # round resolves every pending claim instead of always paying claim_rounds
-    keys, _, _ = jax.lax.while_loop(
-        lambda c: c[1] & (c[2] < cfg.claim_rounds),
-        claim_round,
-        claim_round((m.keys, jnp.bool_(True), jnp.int32(0))),
-    )
-
-    slot = lookup(keys, bc, cfg)
     placed = mask & (slot >= 0)
     n_dropped = jnp.sum((mask & (slot < 0)).astype(jnp.int32))
     flat = jnp.where(placed, slot * B + sub_id, dump * B)

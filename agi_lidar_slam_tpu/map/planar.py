@@ -6,12 +6,14 @@ reference's per-point kd-tree descents (S-FAST_LIO ikd_Tree.cpp:370 /
 A-LOAM laserMapping.cpp:645). That requires a lane-aligned, single-array
 layout instead of HashVoxelMap's (rows, B, 3) + (rows, B) pair:
 
-    row r (one voxel block), lanes:
-      [0,   B)   X coordinates of the B sub-voxel points
-      [B,  2B)   Y
-      [2B, 3B)   Z
-      [3B, 3B+3) block coordinate key, int32 bitcast to f32
-      [3B+3, L)  zero padding up to the lane-tile multiple L
+    row r (one voxel block), lanes (PW = B padded up to a multiple of 8, so
+    every coordinate-plane slice in the kernel is lane-aligned):
+      [0,    0+B)    X coordinates of the B sub-voxel points
+      [PW,   PW+B)   Y
+      [2PW,  2PW+B)  Z
+      [3PW,  3PW+3)  block coordinate key, int32 bitcast to f32
+      pad lanes ([B, PW) of each plane and [3PW+3, L)) hold the poison
+      coordinate, so they fall out of the distance gate like empty sub-voxels
 
 Empty sub-voxels hold the poison coordinate -1e9 so their squared distance
 to any real query is ~1e18 — masking by distance instead of by an occupancy
@@ -38,20 +40,30 @@ POISON_QUERY = 1.0e9  # invalid-query coordinate (callers)
 VALID_SQ_LIMIT = 1.0e17
 
 
+def plane_width(cfg: MapConfig) -> int:
+    """Per-coordinate plane width: the bucket padded to a multiple of 8 so
+    kernel lane slices at {0, PW, 2PW} stay aligned."""
+    return ((cfg.bucket + 7) // 8) * 8
+
+
 def planar_lanes(cfg: MapConfig) -> int:
-    """Lane width of one planar row: 3B point lanes + 3 key lanes, padded to
-    the f32 lane tile (128)."""
-    need = 3 * cfg.bucket + 3
+    """Lane width of one planar row: 3 coordinate planes + 3 key lanes,
+    padded to the f32 lane tile (128)."""
+    need = 3 * plane_width(cfg) + 3
     return max(128, ((need + 127) // 128) * 128)
 
 
 def build_planar(m: HashVoxelMap, cfg: MapConfig) -> jnp.ndarray:
     """HashVoxelMap -> (rows, L) f32 planar table (see module docstring)."""
     B = m.bucket
+    PW = plane_width(cfg)
     L = planar_lanes(cfg)
-    coords = [
-        jnp.where(m.occ, m.points[:, :, i], POISON_POINT) for i in range(3)
-    ]  # 3 x (rows, B)
+    ppad = jnp.full((m.n_rows, PW - B), POISON_POINT, jnp.float32)
+    coords = []
+    for i in range(3):
+        coords.append(jnp.where(m.occ, m.points[:, :, i], POISON_POINT))
+        if PW > B:
+            coords.append(ppad)
     keys_f = jax.lax.bitcast_convert_type(m.keys, jnp.float32)  # (rows, 3)
-    pad = jnp.zeros((m.n_rows, L - 3 * B - 3), jnp.float32)
-    return jnp.concatenate(coords + [keys_f, pad], axis=1)
+    tail = jnp.full((m.n_rows, L - 3 * PW - 3), POISON_POINT, jnp.float32)
+    return jnp.concatenate(coords + [keys_f, tail], axis=1)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MapConfig
-from ..map.hash_map import HashVoxelMap, block_coords, lookup
+from ..map.hash_map import HashVoxelMap, block_coords, lookup, lookup_dedup
 
 _OFFSETS27 = jnp.asarray(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
@@ -60,62 +60,24 @@ def _neighbor_blocks(queries: jnp.ndarray, bc: jnp.ndarray, cfg: MapConfig) -> j
 
 def _dedup_lookup(m: HashVoxelMap, nbr: jnp.ndarray, qmask: jnp.ndarray,
                   cfg: MapConfig) -> jnp.ndarray:
-    """Slot lookup for (N,M,3) neighbor blocks with cross-query deduplication.
-
-    Nearby queries share neighbor blocks, so the N*M raw lookups hit only a
-    few thousand distinct blocks; probing each distinct block once cuts the
-    dominant random-gather row count ~10x. Distinct coords are found by
-    sorting packed 30-bit keys. To keep the pack exact on arbitrarily long
-    trajectories, coords are recentered on the minimum block coordinate of
-    the *valid* queries before packing (one scan spans far fewer than 1024
-    blocks per axis); anything outside the 1024-block window — only possible
-    for masked/garbage queries — gets a sentinel key and resolves to
-    'absent' instead of aliasing with a real block.
-    """
+    """Slot lookup for (N,M,3) neighbor blocks with cross-query deduplication
+    (hash_map.lookup_dedup: overlapping neighborhoods hit only a few thousand
+    distinct blocks, each probed once)."""
     N, M, _ = nbr.shape
-    # unique capacity: overlapping neighborhoods keep distinct-block counts
-    # well under N*M; 4N covers sparse query sets (e.g. scattered corners with
-    # 27-block neighborhoods) with margin, and the 4096 floor makes small
-    # query batches (where 4N could undershoot the distinct count) exact.
-    # Overflow falls back to 'absent'.
-    U = min(N * M, max(4 * N, 4096))
-    flat = nbr.reshape(-1, 3)
-    # recenter on the valid-query minimum so the 10-bit/axis pack never
-    # aliases far-apart world blocks (round-1 bug: clip(+512) merged blocks
-    # beyond ~±512 blocks from the origin and association silently vanished)
-    qnbr = jnp.where(qmask[:, None, None], nbr, jnp.int32(2**20))
-    base = jnp.min(qnbr.reshape(-1, 3), axis=0)  # (3,)
-    base = jnp.where(base == 2**20, 0, base)  # all-masked batch: any base works
-    rel = flat - base[None, :]
-    in_range = jnp.all((rel >= 0) & (rel < 1024), axis=1)
-    relc = jnp.clip(rel, 0, 1023)
-    packed = jnp.where(
-        in_range,
-        (relc[:, 0] << 20) | (relc[:, 1] << 10) | relc[:, 2],
-        jnp.int32(1 << 30),  # sentinel: sorts after every valid key
-    )
-    order = jnp.argsort(packed)
-    ps = packed[order]
-    first = jnp.concatenate([jnp.ones((1,), bool), ps[1:] != ps[:-1]])
-    uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1  # (NM,)
-    ok_u = (uid_sorted < U) & in_range[order]
-    # representative coords per unique id
-    ucoords = jnp.full((U + 1, 3), 2**20, jnp.int32).at[
-        jnp.where(first & ok_u, uid_sorted, U)
-    ].set(flat[order])
-    uslot = lookup(m.keys, ucoords[:U], cfg)  # (U,) probe only distinct blocks
-    slot_sorted = jnp.where(ok_u, uslot[jnp.minimum(uid_sorted, U - 1)], -1)
-    slot_flat = jnp.zeros((N * M,), jnp.int32).at[order].set(slot_sorted)
-    return slot_flat.reshape(N, M)
+    valid = jnp.broadcast_to(qmask[:, None], (N, M)).reshape(-1)
+    return lookup_dedup(m.keys, nbr.reshape(-1, 3), valid, cfg).reshape(N, M)
 
 
 def _vmem_kernel_mode(cfg: MapConfig):
     """Resolve MapConfig.knn_kernel -> (use Pallas kernel?, interpret?).
 
     "auto" picks the VMEM-resident kernel on TPU for octant8 tables small
-    enough to sit on-chip (~12 MB leaves room for the candidate scratch)."""
-    aligned = cfg.probes % 8 == 0 and cfg.probes & (cfg.probes - 1) == 0
-    if cfg.neighborhood != "octant8" or not aligned or cfg.knn_kernel == "xla":
+    enough to sit on-chip (32 MB of the 128 MB v5e VMEM, leaving room for
+    the ~4 MB candidate scratch and double-buffered I/O tiles)."""
+    # probes must be a multiple of 8 so the kernel's superset windows
+    # (probes+8 rows) stay sublane-aligned in its candidate scratch
+    if (cfg.neighborhood != "octant8" or cfg.probes % 8 != 0
+            or cfg.knn_kernel == "xla"):
         return False, False
     if cfg.knn_kernel == "pallas":
         return True, False
@@ -124,7 +86,7 @@ def _vmem_kernel_mode(cfg: MapConfig):
     from ..map.planar import planar_lanes  # local import: avoid cycle
 
     rows = ((cfg.slots + cfg.probes + 1 + 255) // 256) * 256
-    fits = rows * planar_lanes(cfg) * 4 <= 12 * 2**20
+    fits = rows * planar_lanes(cfg) * 4 <= 32 * 2**20
     return (fits and jax.default_backend() == "tpu"), False
 
 

@@ -42,14 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import MapConfig
 from ..map.hash_map import HashVoxelMap, block_coords, probe_base
 from ..map.planar import (POISON_POINT, POISON_QUERY, VALID_SQ_LIMIT,
-                          build_planar, planar_lanes)
+                          build_planar, planar_lanes, plane_width)
 
 _BIG = 1e30
 _TILE = 64  # queries per grid step
 
 
 def _kernel(act_ref, h_ref, nbr_ref, q_ref, tab_ref, d_out, p_out, cand,
-            *, T, M, P, B, K, L):
+            *, T, M, W, PW, K, L):
     i = pl.program_id(0)
     active = act_ref[i] > 0
 
@@ -61,21 +61,32 @@ def _kernel(act_ref, h_ref, nbr_ref, q_ref, tab_ref, d_out, p_out, cand,
     @pl.when(active)
     def _():
         # gather phase: probe windows for every (query, octant block) pair,
-        # scalar-indexed VMEM->VMEM copies (the whole table is resident)
-        def body(j, _):
-            # probe bases are probe-aligned (hash_map.probe_base), which the
-            # compiler needs to emit one aligned (P, L) vector load
-            hj = pl.multiple_of(h_ref[i * (T * M) + j], 8)
-            cand[pl.ds(j * P, P), :] = tab_ref[pl.ds(hj, P), :]
+        # scalar-indexed VMEM->VMEM copies (the whole table is resident).
+        # The true probe window [h, h+P) is unaligned (sliding chains share
+        # overflow capacity); the copy reads the aligned SUPERSET window
+        # [h & ~7, h & ~7 + W), W = P + 8 — Mosaic gets the provably
+        # 8-aligned sublane offset it needs, and the key match below ignores
+        # the extra rows (a block coord exists at most once in the table).
+        # Unrolled 4x: the loop is iteration-count-bound (scalar address
+        # formation + branch dominate the copy), not bandwidth-bound.
+        UNROLL = 4
+        base = i * (T * M)
+
+        def body(j4, _):
+            for u in range(UNROLL):
+                j = j4 * UNROLL + u
+                hj = h_ref[base + j]
+                hb = pl.multiple_of((hj >> 3) << 3, 8)
+                cand[pl.ds(j * W, W), :] = tab_ref[pl.ds(hb, W), :]
             return 0
 
-        jax.lax.fori_loop(0, T * M, body, 0)
+        jax.lax.fori_loop(0, (T * M) // UNROLL, body, 0)
 
         # match phase (vector): keep the probe row whose key matches
-        c = cand[:].reshape(T, M, P, L)
-        ckeys = pltpu.bitcast(c[:, :, :, 3 * B:3 * B + 3], jnp.int32)
+        c = cand[:].reshape(T, M, W, L)
+        ckeys = pltpu.bitcast(c[:, :, :, 3 * PW:3 * PW + 3], jnp.int32)
         tgt = nbr_ref[:].reshape(T, M, 1, 3)
-        eq = jnp.all(ckeys == tgt, axis=-1)  # (T,M,P)
+        eq = jnp.all(ckeys == tgt, axis=-1)  # (T,M,W)
         w = eq.astype(jnp.float32)[..., None]  # f32 before the dim insert:
         # Mosaic only supports minor-dim insertion on 32-bit types
         row = jnp.sum(c * w, axis=2)  # (T,M,L) zeros where no probe matched
@@ -84,9 +95,9 @@ def _kernel(act_ref, h_ref, nbr_ref, q_ref, tab_ref, d_out, p_out, cand,
 
         # candidate coordinate planes, kept 3D (T,M,B) — Mosaic cannot merge
         # the M dim into lanes, so selection runs hierarchically instead
-        X = row[:, :, 0:B]
-        Y = row[:, :, B:2 * B]
-        Z = row[:, :, 2 * B:3 * B]
+        X = row[:, :, 0:PW]
+        Y = row[:, :, PW:2 * PW]
+        Z = row[:, :, 2 * PW:3 * PW]
         q = q_ref[:]
         qx = jnp.reshape(q[:, 0:1], (T, 1, 1))
         qy = jnp.reshape(q[:, 1:2], (T, 1, 1))
@@ -96,7 +107,7 @@ def _kernel(act_ref, h_ref, nbr_ref, q_ref, tab_ref, d_out, p_out, cand,
         # k-pass min selection: argmin within each block (lanes), then argmin
         # across blocks; winners extracted by one-hot masked sums (tie-safe:
         # argmin picks the first index, like the XLA path)
-        col_b = jax.lax.broadcasted_iota(jnp.int32, (T, B), 1)
+        col_b = jax.lax.broadcasted_iota(jnp.int32, (T, PW), 1)
         col_m = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
         dv, px, py, pz = [], [], [], []
         for _k in range(K):
@@ -106,11 +117,11 @@ def _kernel(act_ref, h_ref, nbr_ref, q_ref, tab_ref, d_out, p_out, cand,
             one_m = (col_m == mstar[:, None])  # (T,M)
             v = jnp.sum(jnp.where(one_m, vm, 0.0), axis=1, keepdims=True)
             istar = jnp.sum(jnp.where(one_m, im, 0), axis=1)  # (T,)
-            one_b = (col_b == istar[:, None])  # (T,B)
+            one_b = (col_b == istar[:, None])  # (T,PW)
             one_mf = one_m.astype(jnp.float32)[:, :, None]  # (T,M,1)
-            one_bf = one_b.astype(jnp.float32)  # (T,B)
-            sel2f = one_mf * jnp.reshape(one_bf, (T, 1, B))  # (T,M,B)
-            Xm = jnp.sum(X * one_mf, axis=1)  # (T,B)
+            one_bf = one_b.astype(jnp.float32)  # (T,PW)
+            sel2f = one_mf * jnp.reshape(one_bf, (T, 1, PW))  # (T,M,PW)
+            Xm = jnp.sum(X * one_mf, axis=1)  # (T,PW)
             Ym = jnp.sum(Y * one_mf, axis=1)
             Zm = jnp.sum(Z * one_mf, axis=1)
             px.append(jnp.sum(Xm * one_bf, axis=1, keepdims=True))
@@ -146,6 +157,7 @@ def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
     it in when running several association passes against one map epoch.
     """
     assert cfg.neighborhood == "octant8", "kernel covers the octant8 mode"
+    assert cfg.probes % 8 == 0, "superset windows need 8-aligned probe counts"
     N_in = queries.shape[0]
     T = _TILE
     if N_in % T:  # pad to a tile multiple; padded tiles are inactive
@@ -154,7 +166,7 @@ def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
             [queries, jnp.zeros((padn, 3), queries.dtype)], axis=0)
         qmask = jnp.concatenate([qmask, jnp.zeros((padn,), bool)], axis=0)
     N = queries.shape[0]
-    M, P, B, L = 8, cfg.probes, cfg.bucket, planar_lanes(cfg)
+    M, W, PW, L = 8, cfg.probes + 8, plane_width(cfg), planar_lanes(cfg)
 
     if tab is None:
         tab = build_planar(m, cfg)
@@ -164,13 +176,11 @@ def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
     frac = queries / cfg.block_size - bc.astype(queries.dtype)
     sign = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)
     nbr = bc[:, None, :] + _OCT[None, :, :] * sign[:, None, :]  # (N,M,3)
-    assert cfg.probes % 8 == 0 and cfg.probes & (cfg.probes - 1) == 0, \
-        "VMEM kernel needs 8-aligned power-of-two probe windows"
     h = probe_base(nbr.reshape(-1, 3), cfg)  # (N*M,) aligned bases
     act = jnp.any(qmask.reshape(-1, T), axis=1).astype(jnp.int32)
     q4 = jnp.concatenate([qp, jnp.zeros((N, 1), jnp.float32)], axis=1)
 
-    kernel = functools.partial(_kernel, T=T, M=M, P=P, B=B, K=k, L=L)
+    kernel = functools.partial(_kernel, T=T, M=M, W=W, PW=PW, K=k, L=L)
     d_out, p_out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -191,12 +201,15 @@ def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
                 pl.BlockSpec((T, 16), lambda i, act, h: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[pltpu.VMEM((T * M * P, L), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((T * M * W, L), jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((N, 8), jnp.float32),
             jax.ShapeDtypeStruct((N, 16), jnp.float32),
         ],
+        # the candidate scratch + match-phase temporaries exceed the default
+        # 16 MB scoped-vmem budget; v5e has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(act, h.reshape(-1), nbr.reshape(-1, 3), q4, tab)
 

@@ -89,7 +89,7 @@ def sharded_insert(mesh: Mesh, m: HashVoxelMap, xyz: jnp.ndarray,
                    mask: jnp.ndarray, cfg: MapConfig) -> HashVoxelMap:
     """Insert into a slot-sharded map: replicated claim resolution + owned-row
     scatters. Same semantics as map.hash_map.insert."""
-    from ..map.hash_map import _first_empty
+    from ..map.hash_map import lookup_dedup
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -101,34 +101,13 @@ def sharded_insert(mesh: Mesh, m: HashVoxelMap, xyz: jnp.ndarray,
         rank = jax.lax.axis_index("mp")
         local_rows = pts_local.shape[0]
         B = pts_local.shape[1]
-        n_rows = keys.shape[0]
-        dump = n_rows - 1
         bc, sub_id = block_coords(xyz, cfg)
         pt_idx = jnp.arange(N, dtype=jnp.int32)
 
-        def claim_round(carry):
-            keys, _, rnd = carry
-            slot = lookup(keys, bc, cfg)
-            need = pmask & (slot < 0)
-            cand = _first_empty(keys, bc, cfg)
-            attempt = need & (cand >= 0)
-            cand_safe = jnp.where(attempt, cand, dump)
-            claim = jnp.full((n_rows,), N, dtype=jnp.int32).at[cand_safe].min(
-                jnp.where(attempt, pt_idx, N)
-            )
-            winner = attempt & (claim[cand_safe] == pt_idx)
-            keys = keys.at[jnp.where(winner, cand, dump)].set(
-                jnp.where(winner[:, None], bc, keys[dump])
-            )
-            return keys, jnp.any(attempt & ~winner), rnd + 1
-
-        keys, _, _ = jax.lax.while_loop(
-            lambda c: c[1] & (c[2] < cfg.claim_rounds),
-            claim_round,
-            claim_round((keys, jnp.bool_(True), jnp.int32(0))),
-        )
-
-        slot = lookup(keys, bc, cfg)
+        # identical dedup+claim as the single-device insert (hash_map.
+        # lookup_dedup claim mode): keys are replicated, so every device
+        # resolves the same slots deterministically with zero communication
+        keys, slot = lookup_dedup(keys, bc, pmask, cfg, claim=True)
         placed = pmask & (slot >= 0)
         owner = slot // local_rows
         mine = placed & (owner == rank)

@@ -35,12 +35,20 @@ def voxel_keys(xyz: jnp.ndarray, mask: jnp.ndarray, voxel_size: float) -> jnp.nd
 def voxel_downsample(
     xyz: jnp.ndarray, mask: jnp.ndarray, voxel_size: float, capacity: int
 ) -> PointBatch:
-    """Centroid-per-voxel downsample of a padded point set. (N,3),(N) -> (capacity,3)."""
+    """Centroid-per-voxel downsample of a padded point set. (N,3),(N) -> (capacity,3).
+
+    The coordinates ride the key sort as extra sort operands (one multi-operand
+    lax.sort) instead of being gathered by argsort order afterwards — on TPU
+    the 115k-row payload gather costs more than carrying three f32 lanes
+    through the sort network (measured 3.8 -> 2.2 ms at HDL-64 scale).
+    Validity needs no separate operand: invalid points carry the sort-last
+    sentinel key."""
     key = voxel_keys(xyz, mask, voxel_size)
-    order = jnp.argsort(key)
-    key_s = key[order]
-    xyz_s = xyz[order]
-    mask_s = mask[order]
+    key_s, x_s, y_s, z_s = jax.lax.sort(
+        (key, xyz[..., 0], xyz[..., 1], xyz[..., 2]), num_keys=1
+    )
+    mask_s = key_s != _INVALID_KEY
+    xyz_s = jnp.stack([x_s, y_s, z_s], axis=-1)
     start = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), key_s[1:] != key_s[:-1]]
     )

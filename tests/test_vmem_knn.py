@@ -79,6 +79,27 @@ def test_vmem_knn_empty_map_and_all_masked():
     assert not bool(jnp.any(valid))
 
 
+def test_vmem_knn_padded_plane_width():
+    """block_sub=3 -> bucket 27 padded to a 32-lane plane: the pad lanes carry
+    poison and must never surface as neighbors."""
+    cfg = MapConfig(sub_voxel=0.8, block_sub=3, log2_slots=10, probes=8,
+                    neighborhood="octant8")
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.uniform(-12, 12, (3000, 3)), jnp.float32)
+    m = insert(empty_map(cfg), pts, jnp.ones((3000,), bool), cfg)
+    q = jnp.asarray(rng.uniform(-11, 11, (192, 3)), jnp.float32)
+    qmask = jnp.ones((192,), bool)
+
+    ref = knn(m, q, qmask, 5, cfg)  # XLA gather path
+    sq, nn_pts, valid = knn_vmem(m, q, qmask, 5, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref.valid))
+    v = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(sq)[v], np.asarray(ref.sq_dists)[v],
+                               rtol=3e-6, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(nn_pts)[v], np.asarray(ref.points)[v],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_prebuilt_tab_equivalent():
     m, _ = _make_map(seed=7)
     q = jnp.asarray(np.random.default_rng(8).uniform(-10, 10, (64, 3)),
