@@ -25,12 +25,22 @@ import jax.numpy as jnp
 
 from ..config import FeatureConfig
 from ..pointcloud.cloud import PointBatch, ScanGrid
-from ..pointcloud.voxel import voxel_downsample
+from ..pointcloud.voxel import voxel_downsample_aux
 
 
 class ScanFeatures(NamedTuple):
     corners: PointBatch  # edge features (capacity R * n_sectors * corners_per_sector)
     surfs: PointBatch  # planar features (capacity cfg.max_surfs)
+
+
+class TimedFeatures(NamedTuple):
+    """Features plus their in-sweep time fractions (for post-extraction
+    deskew, the reference's TransformToStart-per-feature-point pattern)."""
+
+    corners: PointBatch
+    corner_tau: jnp.ndarray  # (Nc,) in [0,1)
+    surfs: PointBatch
+    surf_tau: jnp.ndarray  # (Ns,) voxel-mean time (PCL centroids average time)
 
 
 def curvature(scan: ScanGrid, cfg: FeatureConfig):
@@ -90,6 +100,11 @@ def occlusion_mask(scan: ScanGrid, cfg: FeatureConfig) -> jnp.ndarray:
 
 
 def extract_features(scan: ScanGrid, cfg: FeatureConfig) -> ScanFeatures:
+    t = extract_features_timed(scan, cfg)
+    return ScanFeatures(t.corners, t.surfs)
+
+
+def extract_features_timed(scan: ScanGrid, cfg: FeatureConfig) -> TimedFeatures:
     R, W = scan.rings, scan.width
     S = cfg.n_sectors
     Ws = W // S
@@ -123,6 +138,9 @@ def extract_features(scan: ScanGrid, cfg: FeatureConfig) -> ScanFeatures:
     corner_xyz = jnp.take_along_axis(
         scan.xyz, col.reshape(R, S * k)[..., None], axis=1
     ).reshape(-1, 3)
+    corner_tau = jnp.take_along_axis(
+        scan.time, col.reshape(R, S * k), axis=1
+    ).reshape(-1)
     corner_mask = (top > 0.0).reshape(-1)
     picked = jnp.zeros((R, W), dtype=bool).at[
         jnp.repeat(jnp.arange(R, dtype=jnp.int32), S * k), col.reshape(-1)
@@ -130,7 +148,9 @@ def extract_features(scan: ScanGrid, cfg: FeatureConfig) -> ScanFeatures:
 
     # --- surfs: low-curvature, not corner-picked, voxel downsampled ----------
     surf_cand = valid & surf_allowed & (c < cfg.surf_thresh) & ~picked
-    surfs = voxel_downsample(
-        scan.xyz.reshape(-1, 3), surf_cand.reshape(-1), cfg.surf_voxel, cfg.max_surfs
+    surfs, surf_tau = voxel_downsample_aux(
+        scan.xyz.reshape(-1, 3), surf_cand.reshape(-1), cfg.surf_voxel,
+        cfg.max_surfs, aux=scan.time.reshape(-1),
     )
-    return ScanFeatures(PointBatch(corner_xyz, corner_mask), surfs)
+    return TimedFeatures(PointBatch(corner_xyz, corner_mask), corner_tau,
+                         surfs, surf_tau)

@@ -35,18 +35,38 @@ def voxel_keys(xyz: jnp.ndarray, mask: jnp.ndarray, voxel_size: float) -> jnp.nd
 def voxel_downsample(
     xyz: jnp.ndarray, mask: jnp.ndarray, voxel_size: float, capacity: int
 ) -> PointBatch:
-    """Centroid-per-voxel downsample of a padded point set. (N,3),(N) -> (capacity,3).
+    """Centroid-per-voxel downsample of a padded point set. (N,3),(N) -> (capacity,3)."""
+    out, _ = voxel_downsample_aux(xyz, mask, voxel_size, capacity, aux=None)
+    return out
+
+
+def voxel_downsample_aux(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    voxel_size: float,
+    capacity: int,
+    aux: jnp.ndarray | None = None,
+) -> tuple[PointBatch, jnp.ndarray | None]:
+    """Centroid downsample that also carries an auxiliary per-point scalar
+    (e.g. the in-sweep time fraction) through the reduction as a mean.
+
+    This mirrors pcl::VoxelGrid exactly: PCL centroids average *all* fields,
+    including the intensity channel the reference encodes point time into
+    (A-LOAM scanRegistration.cpp:421-427 downSizeFilter on less-flat, then
+    laserOdometry TransformToStart :124-145 reads the averaged time back).
 
     The coordinates ride the key sort as extra sort operands (one multi-operand
     lax.sort) instead of being gathered by argsort order afterwards — on TPU
-    the 115k-row payload gather costs more than carrying three f32 lanes
+    the 115k-row payload gather costs more than carrying the extra f32 lanes
     through the sort network (measured 3.8 -> 2.2 ms at HDL-64 scale).
     Validity needs no separate operand: invalid points carry the sort-last
     sentinel key."""
     key = voxel_keys(xyz, mask, voxel_size)
-    key_s, x_s, y_s, z_s = jax.lax.sort(
-        (key, xyz[..., 0], xyz[..., 1], xyz[..., 2]), num_keys=1
-    )
+    ops = (key, xyz[..., 0], xyz[..., 1], xyz[..., 2])
+    if aux is not None:
+        ops = ops + (aux,)
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    key_s, x_s, y_s, z_s = sorted_ops[:4]
     mask_s = key_s != _INVALID_KEY
     xyz_s = jnp.stack([x_s, y_s, z_s], axis=-1)
     start = jnp.concatenate(
@@ -58,5 +78,12 @@ def voxel_downsample(
         jnp.where(mask_s[:, None], xyz_s, 0.0), seg, num_segments=capacity
     )
     cnts = jax.ops.segment_sum(mask_s.astype(jnp.float32), seg, num_segments=capacity)
-    out = sums / jnp.maximum(cnts[:, None], 1.0)
-    return PointBatch(out, cnts > 0.5)
+    denom = jnp.maximum(cnts, 1.0)
+    out = sums / denom[:, None]
+    aux_mean = None
+    if aux is not None:
+        aux_sums = jax.ops.segment_sum(
+            jnp.where(mask_s, sorted_ops[4], 0.0), seg, num_segments=capacity
+        )
+        aux_mean = aux_sums / denom
+    return PointBatch(out, cnts > 0.5), aux_mean
