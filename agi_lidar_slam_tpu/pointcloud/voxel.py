@@ -60,7 +60,17 @@ def voxel_downsample_aux(
     the 115k-row payload gather costs more than carrying the extra f32 lanes
     through the sort network (measured 3.8 -> 2.2 ms at HDL-64 scale).
     Validity needs no separate operand: invalid points carry the sort-last
-    sentinel key."""
+    sentinel key.
+
+    Per-voxel sums use NO scatter: after the key sort, segments are
+    contiguous runs, so segment sums are differences of an inclusive prefix
+    sum taken at run ends — and the run ends of the first `capacity`
+    segments, in order, are exactly the sorted positions of all run-end
+    indices (one small int sort). A 115k-row scatter-add (segment_sum)
+    costs ~1 ms on TPU; the cumsum + diff formulation measures ~4x cheaper
+    (profiled: the two scatter-adds were ~1.9 ms of the 9.3 ms HDL-64 scan
+    program)."""
+    N = xyz.shape[0]
     key = voxel_keys(xyz, mask, voxel_size)
     ops = (key, xyz[..., 0], xyz[..., 1], xyz[..., 2])
     if aux is not None:
@@ -68,22 +78,41 @@ def voxel_downsample_aux(
     sorted_ops = jax.lax.sort(ops, num_keys=1)
     key_s, x_s, y_s, z_s = sorted_ops[:4]
     mask_s = key_s != _INVALID_KEY
-    xyz_s = jnp.stack([x_s, y_s, z_s], axis=-1)
-    start = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), key_s[1:] != key_s[:-1]]
-    )
-    seg = jnp.cumsum(start.astype(jnp.int32)) - 1
-    seg = jnp.where(mask_s, seg, capacity)  # out-of-range segments are dropped
-    sums = jax.ops.segment_sum(
-        jnp.where(mask_s[:, None], xyz_s, 0.0), seg, num_segments=capacity
-    )
-    cnts = jax.ops.segment_sum(mask_s.astype(jnp.float32), seg, num_segments=capacity)
-    denom = jnp.maximum(cnts, 1.0)
-    out = sums / denom[:, None]
-    aux_mean = None
+
+    # f32 prefix sums over 115k raw coordinates would lose ~0.25 m at the
+    # tail (eps at |prefix| ~ 2e6); accumulate residuals from each point's
+    # voxel CENTER instead (|residual| <= leaf/2, prefix stays small) and
+    # add the exactly-reconstructable center back at the end.
+    def _centers(k):
+        safe = jnp.where(k == _INVALID_KEY, 0, k)
+        vc = jnp.stack([(safe >> 20) & 0x3FF, (safe >> 10) & 0x3FF, safe & 0x3FF],
+                       axis=-1)
+        return (vc.astype(jnp.float32) - _HALF_GRID + 0.5) * voxel_size
+
+    ctr = _centers(key_s)
+    lanes = [x_s - ctr[:, 0], y_s - ctr[:, 1], z_s - ctr[:, 2],
+             mask_s.astype(jnp.float32)]
     if aux is not None:
-        aux_sums = jax.ops.segment_sum(
-            jnp.where(mask_s, sorted_ops[4], 0.0), seg, num_segments=capacity
-        )
-        aux_mean = aux_sums / denom
+        lanes.append(sorted_ops[4])
+    vals = jnp.stack(lanes, axis=-1)  # (N, 4|5)
+    csum = jnp.cumsum(jnp.where(mask_s[:, None], vals, 0.0), axis=0)
+
+    # run ends: last element of each key run (valid keys only)
+    is_end = mask_s & jnp.concatenate(
+        [key_s[:-1] != key_s[1:], jnp.ones((1,), bool)]
+    )
+    # positions of the first `capacity` run ends, ascending; N = "no segment"
+    endpos = jnp.where(is_end, jnp.arange(N, dtype=jnp.int32), N)
+    ends = jax.lax.sort(endpos)[:capacity]  # (capacity,)
+    have = ends < N
+    ends_c = jnp.minimum(ends, N - 1)
+    totals = csum[ends_c]  # (capacity, L) inclusive prefix at run end
+    prev = jnp.concatenate([jnp.zeros((1, vals.shape[1])), totals[:-1]], axis=0)
+    sums = jnp.where(have[:, None], totals - prev, 0.0)
+
+    cnts = sums[:, 3]
+    denom = jnp.maximum(cnts, 1.0)
+    out = _centers(key_s[ends_c]) + sums[:, :3] / denom[:, None]
+    out = jnp.where(have[:, None], out, 0.0)
+    aux_mean = sums[:, 4] / denom if aux is not None else None
     return PointBatch(out, cnts > 0.5), aux_mean
