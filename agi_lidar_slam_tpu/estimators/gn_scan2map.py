@@ -176,19 +176,42 @@ def solve_scan2map(
     cmap_cfg: MapConfig,
     smap_cfg: MapConfig,
     cfg: SolverConfig,
+    deskew: tuple | None = None,
 ):
-    """Iterated GN from initial guess pose0. Returns (pose, GnStats)."""
+    """Iterated GN from initial guess pose0. Returns (pose, GnStats).
+
+    `deskew = (corner_tau, surf_tau, prev_pose)` enables in-loop motion
+    compensation: at each OUTER pass the raw (distorted) feature points are
+    re-deskewed with the CURRENT relative-motion estimate
+    rel = prev_pose^-1 . pose before association/linearization. This is the
+    reference's own formulation — A-LOAM's TransformToStart runs inside the
+    cost functor on the live optimization variables (laserOdometry.cpp:
+    124-145, lidarFactor.hpp:28-40) — and it matters dynamically: a one-shot
+    deskew at the predicted motion feeds each scan's estimate error into the
+    next scan's deskew, which alternates sign and grows into a lateral
+    sawtooth on straight fast motion. In-loop deskew corrects the warp within
+    the same scan's optimization, killing the feedback path.
+    """
     corner_tab = _maybe_tab(corner_map, cmap_cfg)
     surf_tab = _maybe_tab(surf_map, smap_cfg)
 
     def outer(_, carry):
         pose, _ = carry
-        corr = associate(pose, corners, surfs, corner_map, surf_map,
+        if deskew is not None:
+            tau_c, tau_s, prev_pose = deskew
+            rel = se3.compose(se3.inverse(prev_pose), pose)
+            c_i = PointBatch(se3.apply_interpolated(rel, tau_c, corners.xyz),
+                             corners.mask)
+            s_i = PointBatch(se3.apply_interpolated(rel, tau_s, surfs.xyz),
+                             surfs.mask)
+        else:
+            c_i, s_i = corners, surfs
+        corr = associate(pose, c_i, s_i, corner_map, surf_map,
                          cmap_cfg, smap_cfg, cfg, corner_tab, surf_tab)
 
         def inner(_, carry2):
             pose, _ = carry2
-            H, g, (n_c, n_s, sq, n_rows) = normal_equations(pose, corners, surfs, corr, cfg)
+            H, g, (n_c, n_s, sq, n_rows) = normal_equations(pose, c_i, s_i, corr, cfg)
             delta, degen = solve_delta(H, g, cfg)
             pose = se3.boxplus(pose, delta)
             rms = jnp.sqrt(sq / jnp.maximum(n_rows, 1.0))

@@ -51,11 +51,26 @@ def solve_scan2map_two_step(
     cmap_cfg: MapConfig,
     smap_cfg: MapConfig,
     cfg: SolverConfig,
+    deskew: tuple | None = None,
 ):
-    """Iterated two-step GN (LeGO configuration). Returns (pose, GnStats)."""
+    """Iterated two-step GN (LeGO configuration). Returns (pose, GnStats).
+
+    `deskew = (corner_tau, surf_tau, prev_pose)` re-deskews the raw feature
+    points at every outer pass with the current motion estimate (see
+    solve_scan2map — LeGO's adjustDistortion runs upfront with IMU data, but
+    the constant-velocity fallback benefits from the in-loop form)."""
     def outer(_, carry):
         pose, _ = carry
-        corr = associate(pose, corners, surfs, corner_map, surf_map,
+        if deskew is not None:
+            tau_c, tau_s, prev_pose = deskew
+            rel = se3.compose(se3.inverse(prev_pose), pose)
+            c_i = PointBatch(se3.apply_interpolated(rel, tau_c, corners.xyz),
+                             corners.mask)
+            s_i = PointBatch(se3.apply_interpolated(rel, tau_s, surfs.xyz),
+                             surfs.mask)
+        else:
+            c_i, s_i = corners, surfs
+        corr = associate(pose, c_i, s_i, corner_map, surf_map,
                          cmap_cfg, smap_cfg, cfg)
         # row selection happens through the correspondence validity masks
         # (normal_equations weights rows by corr.ok_*)
@@ -65,10 +80,10 @@ def solve_scan2map_two_step(
         def inner(_, carry2):
             pose, _ = carry2
             # step 1: surf rows only -> (roll, pitch, z)
-            Hs, gs, (_, n_s, sq_s, nr_s) = normal_equations(pose, corners, surfs, corr_surf, cfg)
+            Hs, gs, (_, n_s, sq_s, nr_s) = normal_equations(pose, c_i, s_i, corr_surf, cfg)
             pose = se3.boxplus(pose, _solve_subset(Hs, gs, _SURF_IDX, cfg.degen_eig_thresh))
             # step 2: corner rows only -> (yaw, x, y)
-            Hc, gc, (n_c, _, sq_c, nr_c) = normal_equations(pose, corners, surfs, corr_corner, cfg)
+            Hc, gc, (n_c, _, sq_c, nr_c) = normal_equations(pose, c_i, s_i, corr_corner, cfg)
             pose = se3.boxplus(pose, _solve_subset(Hc, gc, _CORNER_IDX, cfg.degen_eig_thresh))
             rms = jnp.sqrt((sq_s + sq_c) / jnp.maximum(nr_s + nr_c, 1.0))
             return pose, GnStats(n_c, n_s, rms, jnp.bool_(False))

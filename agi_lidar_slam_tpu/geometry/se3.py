@@ -76,3 +76,17 @@ def interpolate(a: Pose, b: Pose, s) -> Pose:
     """Pose interpolation (slerp + lerp): s=0 -> a, s=1 -> b. Used for deskew."""
     s = jnp.asarray(s)
     return Pose(so3.slerp(a.q, b.q, s), (1.0 - s)[..., None] * a.t + s[..., None] * b.t)
+
+
+def apply_interpolated(rel: Pose, tau: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """p' = interp(I, rel, tau) . p — the constant-velocity deskew transform
+    (A-LOAM TransformToStart, laserOdometry.cpp:124-145).
+
+    Rotation interpolation is nlerp (normalized lerp) rather than slerp: for
+    per-sweep rotations (<0.2 rad at any sane spin rate) the angular error is
+    <1e-4 rad while avoiding per-point transcendentals."""
+    tau = tau[..., None]
+    ident = so3.quat_identity()
+    q_rel = jnp.where(rel.q[0] < 0, -rel.q, rel.q)  # same hemisphere as identity
+    q_i = so3.quat_normalize((1.0 - tau) * ident + tau * q_rel)
+    return so3.quat_rotate(q_i, pts) + tau * rel.t

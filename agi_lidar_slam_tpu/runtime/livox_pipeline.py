@@ -35,6 +35,8 @@ from ..estimators.window_map import (
 )
 from ..features.livox import LivoxFeatureConfig, extract_livox_features
 from ..features.dynamic_removal import DynamicRemovalConfig, remove_dynamic
+from ..features.mount_calib import (MountState, correct_points,
+                                    init_mount_state, update_mount)
 from ..geometry import se3, so3
 from ..imu.preintegration import ImuNoise, Preintegrated, preintegrate
 from ..map.hash_map import HashVoxelMap, bound_map, empty_map, insert_with_stats
@@ -58,6 +60,9 @@ class LivoxConfig:
     surf_ds_voxel: float = 0.4
     use_dynamic_removal: bool = True
     use_nonfeature: bool = True  # third residual class in the window solve
+    # mount-angle self-calibration (pointsCorrect.cpp): EMA'd ground-normal
+    # estimate rotates the cloud level before segmentation/features
+    use_mount_calib: bool = False
     dynamic: DynamicRemovalConfig = DynamicRemovalConfig()
     imu_noise: ImuNoise = ImuNoise()
     lidar_weight: float = 30.0
@@ -76,6 +81,7 @@ class LivoxState(NamedTuple):
     other_map: HashVoxelMap
     grav: jnp.ndarray
     frame: jnp.ndarray
+    mount: MountState = init_mount_state()
 
 
 class LivoxResult(NamedTuple):
@@ -119,6 +125,7 @@ def init_livox_state(cfg: LivoxConfig, x0: se3.Pose | None = None,
         other_map=empty_map(cfg.other_map),
         grav=grav if grav is not None else jnp.asarray([0.0, 0.0, -9.81]),
         frame=jnp.int32(0),
+        mount=init_mount_state(),
     )
 
 
@@ -144,7 +151,15 @@ def process_livox_scan(
     imu: ImuWindow,
     cfg: LivoxConfig,
 ) -> Tuple[LivoxState, LivoxResult]:
-    # --- preprocessing: dynamic removal + 3-class features ------------------
+    # --- preprocessing: mount correction + dynamic removal + features -------
+    mount = state.mount
+    if cfg.use_mount_calib:
+        # self-calibrate the mount tilt from flat ground cells and level the
+        # cloud (LIO-Livox pointsCorrect.cpp via segment.cpp)
+        flat_xyz = scan.xyz.reshape(-1, 3)
+        mount, _ = update_mount(mount, flat_xyz, scan.mask.reshape(-1))
+        corrected = correct_points(flat_xyz, mount).reshape(scan.xyz.shape)
+        scan = ScanGrid(corrected, scan.mask, scan.time)
     if cfg.use_dynamic_removal:
         keep = remove_dynamic(scan, cfg.dynamic)
         scan = ScanGrid(scan.xyz, scan.mask & keep, scan.time)
@@ -229,7 +244,7 @@ def process_livox_scan(
     new_state = LivoxState(
         ws=ws_opt, prior=prior, corners=corners, surfs=surfs, others=others,
         corner_map=cmap, surf_map=smap, other_map=omap,
-        grav=state.grav, frame=state.frame + 1,
+        grav=state.grav, frame=state.frame + 1, mount=mount,
     )
     return new_state, LivoxResult(pose_new, resid, dc + dss + do)
 

@@ -22,11 +22,11 @@ import jax.numpy as jnp
 from ..config import PipelineConfig
 from ..estimators.gn_scan2map import GnStats, solve_scan2map
 from ..estimators.two_step import solve_scan2map_two_step
-from ..features.curvature import extract_features
+from ..features.curvature import extract_features_timed
 from ..geometry import se3, so3
 from ..map.hash_map import HashVoxelMap, bound_map, empty_map, insert, insert_with_stats
 from ..pointcloud.cloud import PointBatch, ScanGrid
-from ..pointcloud.voxel import voxel_downsample
+from ..pointcloud.voxel import voxel_downsample_aux
 
 
 class EngineState(NamedTuple):
@@ -64,28 +64,16 @@ def init_state(cfg: PipelineConfig) -> EngineState:
     )
 
 
-def deskew_points(xyz: jnp.ndarray, tau: jnp.ndarray, rel: se3.Pose) -> jnp.ndarray:
-    """Constant-velocity deskew of a point batch: p' = interp(I, rel, tau) . p.
-
-    Rotation interpolation is nlerp (normalized lerp) rather than slerp: for
-    per-sweep rotations (<0.2 rad at any sane spin rate) the angular error is
-    <1e-4 rad while avoiding per-point transcendentals.
-    """
-    tau = tau[..., None]
-    ident = so3.quat_identity()
-    q_rel = jnp.where(rel.q[0] < 0, -rel.q, rel.q)  # same hemisphere as identity
-    q_i = so3.quat_normalize((1.0 - tau) * ident + tau * q_rel)
-    return so3.quat_rotate(q_i, xyz) + tau * rel.t
-
-
 def deskew_constant_velocity(scan: ScanGrid, rel: se3.Pose) -> ScanGrid:
     """Whole-grid constant-velocity deskew (A-LOAM TransformToStart applied to
     every point). The hot path no longer uses this — process_scan extracts
-    features on the distorted cloud and deskews only the selected features,
-    exactly the reference's structure (scanRegistration extracts on the raw
-    cloud; laserOdometry deskews per feature point, :124-145) — but the LIO
-    pipelines and tests still deskew full grids."""
-    xyz = deskew_points(scan.xyz.reshape(-1, 3), scan.time.reshape(-1), rel)
+    features on the distorted cloud and the SOLVER deskews the selected
+    features at every association pass (se3.apply_interpolated), exactly the
+    reference's structure (scanRegistration extracts on the raw cloud;
+    laserOdometry deskews per feature point on the live estimate, :124-145).
+    Kept for tests and grid-level consumers."""
+    xyz = se3.apply_interpolated(rel, scan.time.reshape(-1),
+                                 scan.xyz.reshape(-1, 3))
     return ScanGrid(xyz.reshape(scan.xyz.shape), scan.mask, scan.time)
 
 
@@ -96,20 +84,21 @@ def process_scan(
     """Process one sweep. Pure function: jit once, stream scans through it."""
     rel = se3.compose(se3.inverse(state.prev_pose), state.pose)
 
-    if cfg.deskew:
-        # Full-grid deskew before extraction. A feature-only deskew (extract
-        # on the distorted cloud, deskew selected features with voxel-mean
-        # time — the reference's literal ordering) measures 0 ms faster on
-        # TPU (XLA fuses the grid deskew into the curvature consumer) and
-        # slightly noisier, so the cleaner ordering stays.
-        scan = deskew_constant_velocity(scan, rel)
-
-    feats = extract_features(scan, cfg.features)
-    corners = voxel_downsample(
-        feats.corners.xyz, feats.corners.mask, cfg.corner_ds_voxel, cfg.features.max_corners
+    # Features are extracted on the RAW (distorted) sweep — the reference's
+    # structure: scanRegistration picks on the raw cloud, and deskew happens
+    # per feature point INSIDE the optimization (TransformToStart on the live
+    # estimate, laserOdometry.cpp:124-145). The solver re-deskews at every
+    # association pass via the per-feature sweep times (voxel-mean over each
+    # downsample cell, exactly as PCL centroids average the time-encoding
+    # intensity field).
+    feats = extract_features_timed(scan, cfg.features)
+    corners, tau_c = voxel_downsample_aux(
+        feats.corners.xyz, feats.corners.mask, cfg.corner_ds_voxel,
+        cfg.features.max_corners, aux=feats.corner_tau,
     )
-    surfs = voxel_downsample(
-        feats.surfs.xyz, feats.surfs.mask, cfg.surf_ds_voxel, cfg.features.max_surfs
+    surfs, tau_s = voxel_downsample_aux(
+        feats.surfs.xyz, feats.surfs.mask, cfg.surf_ds_voxel,
+        cfg.features.max_surfs, aux=feats.surf_tau,
     )
 
     if cfg.odometry_stage:
@@ -123,6 +112,7 @@ def process_scan(
         rel_opt, _ = solve_scan2map(
             rel, corners, surfs, ocmap, osmap, cfg.odom_map, cfg.odom_map,
             cfg.odom_solver,
+            deskew=(tau_c, tau_s, se3.Pose.identity()) if cfg.deskew else None,
         )
         pred = se3.compose(state.pose, rel_opt)
     else:
@@ -131,11 +121,21 @@ def process_scan(
     # On an empty map (first frames) every eigenvalue of H is below the
     # degeneracy threshold, so the solver is a no-op and the pose stays at the
     # prediction — no special first-frame branch needed.
+    dsk = (tau_c, tau_s, state.pose) if cfg.deskew else None
     solver_fn = solve_scan2map_two_step if cfg.two_step else solve_scan2map
     pose_opt, stats = solver_fn(
         pred, corners, surfs, state.corner_map, state.surf_map,
-        cfg.corner_map, cfg.surf_map, cfg.solver,
+        cfg.corner_map, cfg.surf_map, cfg.solver, deskew=dsk,
     )
+
+    if cfg.deskew:
+        # final motion compensation at the optimized estimate (what the map
+        # stores, the keyframe bank keeps, and the odometry stage reuses)
+        rel_opt = se3.compose(se3.inverse(state.pose), pose_opt)
+        corners = PointBatch(se3.apply_interpolated(rel_opt, tau_c, corners.xyz),
+                             corners.mask)
+        surfs = PointBatch(se3.apply_interpolated(rel_opt, tau_s, surfs.xyz),
+                           surfs.mask)
 
     R = so3.quat_to_matrix(pose_opt.q)
     cmap, drop_c = insert_with_stats(state.corner_map, corners.xyz @ R.T + pose_opt.t,
