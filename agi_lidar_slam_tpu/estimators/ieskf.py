@@ -34,7 +34,14 @@ class IeskfConfig(NamedTuple):
     meas_noise: float = 0.001  # LASER_POINT_COV (laserMapping.cpp:64)
     converge_eps: float = 0.001  # esekfom.hpp convergence epsilon
     k_neighbors: int = 5
-    gate_sq: float = 1.0  # h_share_model: 5th NN sq dist < 5 in ref; gated by plane fit
+    # association gates. NOTE: the reference gates the 5th NN at 5 m^2
+    # (esekfom.hpp:137) and accepts residuals via s = 1 - 0.9|r|/sqrt(|p|)
+    # > 0.9 (:163); the defaults here (1 m^2 gate, 0.5 m residual cap) were
+    # tuned on the simulator, where the tighter gate tracks measurably
+    # better. Both are config so a dataset run can restore the reference
+    # values (gate_sq=5.0, max_resid from the s-form) for parity validation.
+    gate_sq: float = 1.0
+    max_resid: float = 0.5  # hard cap on |point-to-plane residual| (m)
     plane_tol: float = 0.1  # esti_plane threshold (common_lib.h:104)
 
 
@@ -56,7 +63,7 @@ def _h_model(
     plane = fit_planes(res.points, res.valid, cfg.plane_tol)
     r = jnp.einsum("ni,ni->n", plane.normal, world) + plane.offset
     # validity: plane ok + gate + residual not absurd (esekfom gates s>0.9)
-    ok = pts_l.mask & gate & plane.ok & (jnp.abs(r) < 0.5)
+    ok = pts_l.mask & gate & plane.ok & (jnp.abs(r) < cfg.max_resid)
     r = jnp.where(ok, r, 0.0)
 
     n = plane.normal

@@ -131,3 +131,63 @@ class TestBagToEngine:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestLegoImuDeskewPath:
+    def test_bag_imu_deskew_into_two_step(self, tmp_path):
+        """LeGO configuration fed from a bag with an IMU stream: the gyro
+        track deskews each sweep (adjustDistortion analog) before the
+        two-step engine; distorted rotating sweeps must still track."""
+        import dataclasses
+
+        from agi_lidar_slam_tpu.config import preset_lego_vlp16
+        from agi_lidar_slam_tpu.imu.deskew import deskew_imu_rotation
+        from agi_lidar_slam_tpu.runtime.pipeline import init_state, process_scan
+
+        world = default_world(seed=4)
+        T, wz = 0.1, 0.5  # strong yaw rate: 0.05 rad of intra-sweep rotation
+        q, t = so3.quat_identity(), jnp.zeros(3)
+        msgs, stamps, gts = [], [], []
+        for i in range(8):
+            p0 = se3.Pose(q, t)
+            q2 = so3.quat_normalize(so3.quat_mul(q, so3.quat_exp(jnp.asarray([0, 0, wz * T]))))
+            t2 = t + so3.quat_rotate(q2, jnp.asarray([0.25, 0.0, 0.0]))
+            scan = simulate_scan(world, p0, se3.Pose(q2, t2), rings=16,
+                                 width=600, noise_std=0.004, seed=i)
+            m = np.asarray(scan.mask).reshape(-1)
+            pts = np.asarray(scan.xyz).reshape(-1, 3)[m]
+            rel = np.asarray(scan.time).reshape(-1)[m] * T
+            msgs.append((1, "/pts", "sensor_msgs/PointCloud2",
+                         make_pc2_with_time(pts, rel)))
+            stamps.append(i * T)
+            for k in range(10):
+                msgs.append((2, "/imu", "sensor_msgs/Imu",
+                             make_imu(np.array([0, 0, wz]), np.array([0, 0, 9.81]))))
+                stamps.append(i * T + k * T / 10)
+            gts.append(np.asarray(p0.t))
+            q, t = q2, t2
+        order = np.argsort(np.asarray(stamps), kind="stable")
+        msgs = [msgs[i] for i in order]
+        stamps = [stamps[i] for i in order]
+        path = str(tmp_path / "lego.bag")
+        write_bag(path, msgs, stamps=stamps)
+
+        cfg = dataclasses.replace(preset_lego_vlp16(), deskew=False)
+        state = init_state(cfg)
+        est = []
+        from agi_lidar_slam_tpu.runtime.lio_pipeline import ImuWindow
+
+        for b in stream_bag(path, max_points=16384):
+            grid = bundle_to_grid(b, rings=16, width=600,
+                                  fov_up_deg=15.0, fov_down_deg=-15.0)
+            win = ImuWindow(jnp.asarray(b.imu_gyro), jnp.asarray(b.imu_acc),
+                            jnp.asarray(b.imu_dt), jnp.asarray(b.imu_mask))
+            if bool(np.any(b.imu_mask)):
+                rel_t = so3.quat_rotate(so3.quat_conj(state.pose.q),
+                                        state.pose.t - state.prev_pose.t)
+                grid = deskew_imu_rotation(grid, win.gyro, win.dt, win.mask, rel_t)
+            state, res = process_scan(state, grid, cfg)
+            est.append(np.asarray(res.pose.t))
+        assert len(est) == 8
+        err = np.linalg.norm(np.stack(est) - np.stack(gts), axis=1)
+        assert err[-1] < 0.25, err

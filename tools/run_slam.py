@@ -53,6 +53,8 @@ def main() -> int:
     ap.add_argument("--metrics", help="JSONL metrics output path")
     ap.add_argument("--save-map", help="directory for PCD map export")
     ap.add_argument("--traj-out", help="trajectory output (KITTI format)")
+    ap.add_argument("--no-imu-deskew", action="store_true",
+                    help="disable IMU-interpolated deskew in bag+lego mode")
     ap.add_argument("--slam", action="store_true",
                     help="full SLAM (keyframes + loop closure) instead of odometry")
     args = ap.parse_args()
@@ -252,11 +254,22 @@ def _run_bag(args) -> int:
                 break
         final_state = driver.state.engine
     else:  # odom / slam on bag clouds (no IMU needed)
+        import dataclasses
+
         from agi_lidar_slam_tpu.runtime.pipeline import init_state, process_scan
         from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig, SlamDriver
 
         pcfg = {"aloam": preset_aloam_kitti64, "sim16": preset_sim16,
                 "lego": preset_lego_vlp16}[args.preset]()
+        # LeGO with an IMU stream in the bag: IMU-interpolated deskew
+        # (adjustDistortion, featureAssociation.cpp:617-806) replaces the
+        # solver's constant-velocity model — the gyro track captures
+        # non-uniform intra-sweep rotation the CV model cannot
+        use_imu_deskew = args.preset == "lego" and not args.no_imu_deskew
+        if use_imu_deskew:
+            from agi_lidar_slam_tpu.imu.deskew import deskew_imu_rotation
+
+            pcfg = dataclasses.replace(pcfg, deskew=False)
         rings = args.rings or 16
         if args.engine == "slam":
             driver = SlamDriver(SlamConfig(pipeline=pcfg))
@@ -264,6 +277,15 @@ def _run_bag(args) -> int:
             state = init_state(pcfg)
         for b in stream:
             grid = bundle_to_grid(b, rings, args.width, args.fov_up, args.fov_down)
+            if use_imu_deskew and bool(np.any(b.imu_mask)):
+                from agi_lidar_slam_tpu.geometry import so3 as _so3
+
+                win = imu_win(b)
+                cur = driver.state.engine if driver is not None else state
+                # constant-velocity translation prior in the sweep-start frame
+                rel_t = _so3.quat_rotate(_so3.quat_conj(cur.pose.q),
+                                         cur.pose.t - cur.prev_pose.t)
+                grid = deskew_imu_rotation(grid, win.gyro, win.dt, win.mask, rel_t)
             with timer.stage("scan"):
                 if driver is not None:
                     res = driver.process(grid)
