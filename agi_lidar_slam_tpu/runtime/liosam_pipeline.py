@@ -43,10 +43,11 @@ from .lio_pipeline import ImuWindow
 from .pipeline import EngineState, ScanResult, init_state
 from .slam_pipeline import (
     SlamConfig,
+    _align_step,
     _correct_and_rebuild,
+    _detect_step,
     _gps_edge,
     _keyframe_step,
-    _loop_step,
 )
 
 
@@ -308,7 +309,14 @@ class LioSamDriver:
         return res
 
     def _try_close_loop(self):
-        edges2, accept, cand, fitness = _loop_step(self.bank, self.edges, self.cfg.slam)
+        # cheap pose-radius detection first; the alignment program (windowed
+        # submap insert + GN) only runs against a real candidate
+        cfg = self.cfg.slam
+        cur = jnp.maximum(self.bank.count - 1, 0)
+        cand, found = _detect_step(self.bank, cfg)
+        if not bool(found):
+            return
+        edges2, accept, fitness = _align_step(self.bank, self.edges, cand, cfg)
         if bool(accept):
             bank2, engine2 = _correct_and_rebuild(
                 self.bank, edges2, self.state.engine, self.cfg.slam)
