@@ -151,6 +151,26 @@ def process_scan(
     return new_state, ScanResult(pose_opt, stats, corners, surfs, drop_c + drop_s)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def process_scan_chunk(
+    state: EngineState, scans: ScanGrid, cfg: PipelineConfig
+) -> Tuple[EngineState, ScanResult]:
+    """Process a CHUNK of scans (leading axis C) in one XLA launch via
+    lax.scan — mathematically identical to C sequential process_scan calls
+    (exact pose parity, tested). Measured on the tunneled v5e backend the
+    per-scan path is FASTER (136 vs 128 scans/s at C=5): the async dispatch
+    queue already hides per-launch latency, while lax.scan stacks every
+    per-scan ScanResult into chunk-axis outputs (extra HBM writes). Kept for
+    backends/embeddings where dispatch cannot run ahead (e.g. host-driven
+    step-lock loops); per-scan latency consumers use process_scan."""
+
+    def body(st, scan):
+        st2, res = process_scan(st, scan, cfg)
+        return st2, res
+
+    return jax.lax.scan(body, state, scans)
+
+
 def run_sequence(scans, cfg: PipelineConfig, state: EngineState | None = None):
     """Host driver: stream a list/iterator of ScanGrids through the engine.
     Returns (final state, list of ScanResults)."""

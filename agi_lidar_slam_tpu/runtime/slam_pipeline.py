@@ -244,6 +244,16 @@ class SlamDriver:
             self._pending = (found, cand)
         return res
 
+    def finalize(self) -> None:
+        """Drain the in-flight loop detection (the analog of letting the
+        reference's 1 Hz loopClosureThread finish after the last scan).
+        Call once at end of stream; harmless when nothing is pending."""
+        if self._pending is not None:
+            p_found, p_cand = self._pending
+            self._pending = None
+            if bool(p_found):
+                self._try_close_loop(p_cand)
+
     def _try_close_loop(self, cand):
         cfg, st = self.cfg, self.state
         edges2, accept, fitness = _align_step(st.bank, st.edges, cand, cfg)

@@ -114,3 +114,34 @@ class TestEndToEndOdometry:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestChunkedDriver:
+    def test_chunked_matches_sequential(self):
+        """process_scan_chunk is the same computation as sequential
+        process_scan calls — exact pose parity."""
+        import jax.numpy as jnp
+
+        from agi_lidar_slam_tpu.pointcloud.cloud import ScanGrid
+        from agi_lidar_slam_tpu.runtime.pipeline import process_scan_chunk
+
+        world = default_world(seed=5)
+        poses = make_trajectory(6, step=0.3)
+        scans = [simulate_scan(world, poses[i], poses[min(i + 1, 5)],
+                               rings=16, width=900, seed=i)
+                 for i in range(6)]
+        s_state = init_state(CFG)
+        seq = []
+        for s in scans:
+            s_state, res = process_scan(s_state, s, CFG)
+            seq.append(np.asarray(res.pose.t))
+
+        c_state = init_state(CFG)
+        stacked = ScanGrid(
+            jnp.stack([s.xyz for s in scans]),
+            jnp.stack([s.mask for s in scans]),
+            jnp.stack([s.time for s in scans]),
+        )
+        c_state, cres = process_scan_chunk(c_state, stacked, CFG)
+        np.testing.assert_allclose(np.asarray(cres.pose.t), np.stack(seq),
+                                   atol=1e-5)

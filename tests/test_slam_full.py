@@ -61,6 +61,7 @@ class TestFullSlam:
             scan = simulate_scan(world, p, p, rings=16, width=900,
                                  noise_std=0.01, seed=100 + i)
             driver.process(scan)
+        driver.finalize()  # drain the in-flight loop detection (end of stream)
         assert int(driver.state.bank.count) >= 10
         assert driver.n_loops_closed >= 1, "no loop closure fired on a closed loop"
         # keyframe trajectory vs ground truth at keyframe stamps

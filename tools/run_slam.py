@@ -133,6 +133,7 @@ def main() -> int:
             est.append(np.asarray(res.pose.t))
             metrics.log_scan(n, res, (time.perf_counter() - t0) * 1e3)
             n += 1
+        driver.finalize()
         state = driver.state.engine
         print(f"loops closed: {driver.n_loops_closed}")
     else:
@@ -296,6 +297,8 @@ def _run_bag(args) -> int:
             n += 1
             if args.max_scans and n >= args.max_scans:
                 break
+        if driver is not None:
+            driver.finalize()
         final_state = driver.state.engine if driver is not None else state
 
     wall = time.perf_counter() - t_start
