@@ -66,3 +66,31 @@ def test_long_trajectory_drift_and_map_bound():
     sb = int(state.surf_map.num_blocks())
     assert cb < 0.5 * cfg.corner_map.slots, (cb, cfg.corner_map.slots)
     assert sb < 0.5 * cfg.surf_map.slots, (sb, cfg.surf_map.slots)
+
+
+def test_long_trajectory_lego_two_step():
+    """Same long-loop world through the LeGO configuration (segmentation +
+    two-step GN + IMU-less constant-velocity deskew): drift envelope gate.
+    The two-step solver constrains 3 dof per stage, so its envelope is wider
+    than the full-6dof gate above; this pins regressions, not parity."""
+    from agi_lidar_slam_tpu.config import preset_lego_vlp16
+
+    cfg = preset_lego_vlp16()
+    world = default_world(seed=3)
+    n = 120
+    scans, gt = [], []
+    for i in range(n):
+        p0 = circle_pose(i * DT, R_TRAJ, OMEGA)
+        p1 = circle_pose((i + 1) * DT, R_TRAJ, OMEGA)
+        scans.append(simulate_scan(world, p0, p1, rings=16, width=900,
+                                   noise_std=0.005, seed=1000 + i))
+        gt.append(np.asarray(p0.t))
+    state, results = run_sequence(scans, cfg)
+    est = np.stack([np.asarray(r.pose.t) for r in results])
+    gt = np.stack(gt)
+    path = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
+    err = np.linalg.norm(est - gt, axis=1)
+    drift_pct = 100.0 * err[-1] / path
+    assert drift_pct < 8.0, f"lego drift {drift_pct:.2f}% of {path:.0f} m"
+    q = n // 4
+    assert err[-q:].mean() < 3.0 * max(err.mean(), 0.05)
