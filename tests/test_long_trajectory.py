@@ -27,8 +27,13 @@ N_SCANS = 150
 R_TRAJ, OMEGA, DT = 8.0, 0.125, 0.25  # ~1 m/s, 0.03 rad/scan yaw
 
 
-def test_long_trajectory_drift_and_map_bound():
-    cfg = preset_sim16()
+import pytest
+
+
+@pytest.fixture(scope="module")
+def loop_scans():
+    """One shared 150-scan raycast set for both long-trajectory gates —
+    the CPU raycast is the expensive part, not the engines."""
     world = default_world(seed=3)
     scans, gt = [], []
     for i in range(N_SCANS):
@@ -37,10 +42,15 @@ def test_long_trajectory_drift_and_map_bound():
         scans.append(simulate_scan(world, p0, p1, rings=16, width=900,
                                    noise_std=0.005, seed=i))
         gt.append(np.asarray(p0.t))
+    return scans, np.stack(gt)
+
+
+def test_long_trajectory_drift_and_map_bound(loop_scans):
+    cfg = preset_sim16()
+    scans, gt = loop_scans
     state, results = run_sequence(scans, cfg)
 
     est = np.stack([np.asarray(r.pose.t) for r in results])
-    gt = np.stack(gt)
     path = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
     err = np.linalg.norm(est - gt, axis=1)
 
@@ -68,26 +78,19 @@ def test_long_trajectory_drift_and_map_bound():
     assert sb < 0.5 * cfg.surf_map.slots, (sb, cfg.surf_map.slots)
 
 
-def test_long_trajectory_lego_two_step():
-    """Same long-loop world through the LeGO configuration (segmentation +
-    two-step GN + IMU-less constant-velocity deskew): drift envelope gate.
-    The two-step solver constrains 3 dof per stage, so its envelope is wider
+def test_long_trajectory_lego_two_step(loop_scans):
+    """Same long-loop scans through the LeGO configuration (segmentation +
+    two-step GN + constant-velocity deskew): drift envelope gate. The
+    two-step solver constrains 3 dof per stage, so its envelope is wider
     than the full-6dof gate above; this pins regressions, not parity."""
     from agi_lidar_slam_tpu.config import preset_lego_vlp16
 
     cfg = preset_lego_vlp16()
-    world = default_world(seed=3)
     n = 120
-    scans, gt = [], []
-    for i in range(n):
-        p0 = circle_pose(i * DT, R_TRAJ, OMEGA)
-        p1 = circle_pose((i + 1) * DT, R_TRAJ, OMEGA)
-        scans.append(simulate_scan(world, p0, p1, rings=16, width=900,
-                                   noise_std=0.005, seed=1000 + i))
-        gt.append(np.asarray(p0.t))
+    scans, gt = loop_scans
+    scans, gt = scans[:n], gt[:n]
     state, results = run_sequence(scans, cfg)
     est = np.stack([np.asarray(r.pose.t) for r in results])
-    gt = np.stack(gt)
     path = float(np.sum(np.linalg.norm(np.diff(gt, axis=0), axis=1)))
     err = np.linalg.norm(est - gt, axis=1)
     drift_pct = 100.0 * err[-1] / path
