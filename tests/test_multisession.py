@@ -1,0 +1,121 @@
+"""Multi-session sharded mapping (BASELINE accuracy-parity config 5):
+two independently-mapped sessions merged by inter-session loop closure +
+joint pose-graph solve, global map rebuilt into the slot-sharded mesh map."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from agi_lidar_slam_tpu.config import MapConfig, SolverConfig, preset_sim16
+from agi_lidar_slam_tpu.geometry import se3, so3
+from agi_lidar_slam_tpu.graph.loop_closure import LoopConfig
+from agi_lidar_slam_tpu.map.hash_map import empty_map, insert
+from agi_lidar_slam_tpu.runtime.multisession import (
+    build_merged_map,
+    cross_session_candidates,
+    merge_banks,
+    merge_sessions,
+)
+from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig, SlamDriver
+from agi_lidar_slam_tpu.sim.world import default_world, simulate_scan
+
+LOOP_CFG = LoopConfig(
+    radius=5.0, min_stamp_sep=0, submap_half=3, fitness_thresh=0.3,
+    min_matches=60,
+    map_cfg=MapConfig(sub_voxel=0.3, block_sub=2, log2_slots=13,
+                      neighborhood="full27"),
+    solver=SolverConfig(n_outer=5, n_inner=3, surf_gate_sq=1.0,
+                        corner_gate_sq=1.0, degen_eig_thresh=10.0),
+)
+
+
+def run_session(world, poses, offset=None):
+    """Drive one session; `offset` perturbs its start (inter-session drift)."""
+    cfg = SlamConfig(pipeline=preset_sim16(), kf_dist=0.4, loop_every=10**9)
+    driver = SlamDriver(cfg)
+    for i, (p0, p1) in enumerate(zip(poses[:-1], poses[1:])):
+        scan = simulate_scan(world, p0, p1, rings=16, width=900,
+                             noise_std=0.005, seed=hash((i, id(poses))) % 9999)
+        driver.process(scan)
+    bank = driver.state.bank
+    if offset is not None:
+        # apply a rigid error to the whole session (what inter-session
+        # drift looks like when each session starts from its own origin)
+        q = jnp.tile(so3.quat_identity()[None], (bank.capacity, 1))
+        bank = bank._replace(t=bank.t + jnp.asarray(offset)[None, :])
+    return bank
+
+
+def line_poses(x0, x1, n, y=0.0):
+    xs = np.linspace(x0, x1, n)
+    return [se3.Pose(so3.quat_identity(), jnp.asarray([x, y, 0.0]))
+            for x in xs]
+
+
+@pytest.fixture(scope="module")
+def sessions():
+    world = default_world(seed=21)
+    # session A maps the west half, session B the east half; they overlap
+    # in the middle (|x| < 2)
+    bank_a = run_session(world, line_poses(-8.0, 2.0, 14))
+    bank_b = run_session(world, line_poses(8.0, -2.0, 14),
+                         offset=[0.35, -0.25, 0.0])
+    return world, bank_a, bank_b
+
+
+def test_merge_banks_and_candidates(sessions):
+    _, bank_a, bank_b = sessions
+    merged, session = merge_banks([bank_a, bank_b])
+    n = int(merged.count)
+    assert n == int(bank_a.count) + int(bank_b.count)
+    assert (session[:n] >= 0).all()
+    pairs = cross_session_candidates(merged, session, radius=5.0)
+    assert len(pairs) >= 1
+    for a, b in pairs:
+        assert session[a] != session[b]
+
+
+def test_joint_solve_pulls_sessions_together(sessions):
+    _, bank_a, bank_b = sessions
+    na, nb = int(bank_a.count), int(bank_b.count)
+    err_before = 0.35**2 + 0.25**2  # session B's injected rigid offset (sq)
+
+    merged, session, n_loops = merge_sessions(
+        [bank_a, bank_b], loop_cfg=LOOP_CFG, pair_radius=5.0)
+    assert n_loops >= 1, "no inter-session loop closure accepted"
+
+    # session A anchors the frame: its keyframes must not move much
+    da = np.linalg.norm(np.asarray(merged.t[:na]) - np.asarray(bank_a.t[:na]),
+                        axis=1)
+    assert da.max() < 0.2, da.max()
+    # session B must be pulled toward its unoffset poses (the offset removed)
+    tb_before = np.asarray(bank_b.t[:nb])
+    tb_after = np.asarray(merged.t[na:na + nb])
+    resid_after = np.linalg.norm(
+        tb_after - (tb_before - np.array([0.35, -0.25, 0.0])), axis=1)
+    resid_before = np.sqrt(err_before)
+    assert np.median(resid_after) < 0.4 * resid_before, (
+        np.median(resid_after), resid_before)
+
+
+def test_merged_map_sharded_parity(sessions):
+    """The merged global map built through the 8-device slot-sharded insert
+    equals the single-device build exactly."""
+    _, bank_a, bank_b = sessions
+    merged, _, _ = merge_sessions([bank_a, bank_b], loop_cfg=LOOP_CFG)
+    map_cfg = MapConfig(sub_voxel=0.4, block_sub=2, log2_slots=14,
+                        neighborhood="full27")
+    m_single = build_merged_map(merged, map_cfg)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("mp",))
+    m_shard = build_merged_map(merged, map_cfg, mesh=mesh)
+    assert int(m_single.num_points()) > 1000
+    np.testing.assert_array_equal(np.asarray(m_shard.keys),
+                                  np.asarray(m_single.keys))
+    np.testing.assert_array_equal(np.asarray(m_shard.occ),
+                                  np.asarray(m_single.occ))
+    np.testing.assert_allclose(np.asarray(m_shard.points),
+                               np.asarray(m_single.points), atol=0)
