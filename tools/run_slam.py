@@ -55,6 +55,10 @@ def main() -> int:
     ap.add_argument("--traj-out", help="trajectory output (KITTI format)")
     ap.add_argument("--no-imu-deskew", action="store_true",
                     help="disable IMU-interpolated deskew in bag+lego mode")
+    ap.add_argument("--imu-rate-out",
+                    help="npz path for the IMU-rate pose stream (liosam "
+                         "engine; the TransformFusion 200-500 Hz output)")
+    ap.add_argument("--viz", help="render trajectory/metrics PNG after the run")
     ap.add_argument("--slam", action="store_true",
                     help="full SLAM (keyframes + loop closure) instead of odometry")
     args = ap.parse_args()
@@ -169,7 +173,24 @@ def main() -> int:
         save_map_bundle(args.save_map, state, trajectory=est)
         print("maps written:", args.save_map)
     metrics.close()
+    _maybe_viz(args)
     return 0
+
+
+def _maybe_viz(args):
+    if not getattr(args, "viz", None):
+        return
+    import subprocess
+
+    cmd = [sys.executable, os.path.join(os.path.dirname(__file__), "visualize.py"),
+           "--out", args.viz]
+    if args.traj_out:
+        cmd += ["--traj", args.traj_out]
+    if args.metrics:
+        cmd += ["--metrics", args.metrics]
+    if args.save_map:
+        cmd += ["--map", args.save_map]
+    subprocess.run(cmd, check=False)
 
 
 def _run_bag(args) -> int:
@@ -254,6 +275,13 @@ def _run_bag(args) -> int:
             if args.max_scans and n >= args.max_scans:
                 break
         final_state = driver.state.engine
+        if args.imu_rate_out:
+            qs = np.stack([np.asarray(q) for q, p, m in driver.imu_rate_out])
+            ps = np.stack([np.asarray(p) for q, p, m in driver.imu_rate_out])
+            ms = np.stack([np.asarray(m) for q, p, m in driver.imu_rate_out])
+            np.savez(args.imu_rate_out, q=qs, p=ps, mask=ms)
+            print("imu-rate pose stream written:", args.imu_rate_out,
+                  f"({int(ms.sum())} poses)")
     else:  # odom / slam on bag clouds (no IMU needed)
         import dataclasses
 
@@ -321,6 +349,7 @@ def _run_bag(args) -> int:
         save_map_bundle(args.save_map, final_state, trajectory=est)
         print("maps written:", args.save_map)
     metrics.close()
+    _maybe_viz(args)
     return 0
 
 
