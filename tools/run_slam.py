@@ -288,6 +288,37 @@ def _run_bag(args) -> int:
         from agi_lidar_slam_tpu.runtime.pipeline import init_state, process_scan
         from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig, SlamDriver
 
+        def _grid_health_check(b, grid, n):
+            """A grid binned at the wrong --width/--rings drops points or
+            scatters them too sparsely for the 11-point curvature windows —
+            the engine then free-wheels at identity with zero features.
+            Catch it on the first scan instead of after a silent full run."""
+            if n != 0:
+                return
+            n_pts = int(np.asarray(b.mask).sum())
+            occ = int(np.asarray(grid.mask).sum())
+            rows = int(np.asarray(grid.mask).any(axis=1).sum())
+            if n_pts and occ < 0.5 * n_pts:
+                print(f"WARNING: only {occ}/{n_pts} bag points landed in the "
+                      f"{grid.mask.shape[0]}x{grid.mask.shape[1]} grid — "
+                      "check --rings/--width/--fov-up/--fov-down against the "
+                      "sensor (collisions/out-of-fov points are dropped)",
+                      file=sys.stderr)
+            if rows and occ / (rows * grid.mask.shape[1]) < 0.6:
+                ppr = occ // max(rows, 1)
+                print(f"WARNING: occupied grid rows are only "
+                      f"{100 * occ // (rows * grid.mask.shape[1])}% filled — "
+                      "curvature windows need contiguous returns; if feature "
+                      f"counts stay 0, try --width {max(64, ppr)} (the "
+                      "sensor's points-per-ring)", file=sys.stderr)
+
+        def _feature_health_check(res, n):
+            if n == 2 and int(res.stats.n_corner) + int(res.stats.n_surf) == 0:
+                print("WARNING: zero features after 3 scans — the engine is "
+                      "free-wheeling. Usually a grid-binning mismatch: set "
+                      "--width to the sensor's points-per-ring and --rings/"
+                      "--fov-* to its geometry", file=sys.stderr)
+
         pcfg = {"aloam": preset_aloam_kitti64, "sim16": preset_sim16,
                 "lego": preset_lego_vlp16}[args.preset]()
         # LeGO with an IMU stream in the bag: IMU-interpolated deskew
@@ -306,6 +337,7 @@ def _run_bag(args) -> int:
             state = init_state(pcfg)
         for b in stream:
             grid = bundle_to_grid(b, rings, args.width, args.fov_up, args.fov_down)
+            _grid_health_check(b, grid, n)
             if use_imu_deskew and bool(np.any(b.imu_mask)):
                 from agi_lidar_slam_tpu.geometry import so3 as _so3
 
@@ -321,6 +353,7 @@ def _run_bag(args) -> int:
                 else:
                     state, res = process_scan(state, grid, pcfg)
             est.append(np.asarray(res.pose.t))
+            _feature_health_check(res, n)
             metrics.log_scan(n, res, 0.0)
             n += 1
             if args.max_scans and n >= args.max_scans:
