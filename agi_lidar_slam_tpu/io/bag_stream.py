@@ -27,6 +27,8 @@ from . import rosbag as rb
 _PC2 = "sensor_msgs/PointCloud2"
 _IMU = "sensor_msgs/Imu"
 _LIVOX = "livox_ros_driver/CustomMsg"
+_ODOM = "nav_msgs/Odometry"
+_NAVSAT = "sensor_msgs/NavSatFix"
 _TIME_FIELDS = ("time", "t", "timestamp", "time_offset", "offset_time")
 
 
@@ -43,6 +45,10 @@ class SweepBundle:
     imu_acc: np.ndarray  # (M,3)
     imu_dt: np.ndarray  # (M,)
     imu_mask: np.ndarray  # (M,)
+    # latest GPS fix at or before this sweep (None when no gps_topic or no
+    # fix yet): local/odom-frame position + position covariance diagonal
+    gps: Optional[np.ndarray] = None  # (3,) f64
+    gps_cov: Optional[np.ndarray] = None  # (3,) f64 diag
 
 
 def _pad_points(xyz, rel_t, ring, max_points):
@@ -86,11 +92,33 @@ def stream_bag(
     imu_topic: Optional[str] = None,
     max_points: int = 131072,
     imu_capacity: int = 512,
+    gps_topic: Optional[str] = None,
 ) -> Iterator[SweepBundle]:
     """Iterate (sweep, imu-window) bundles in bag time order. Topics default
-    to the first PointCloud2/CustomMsg and first Imu connection seen."""
+    to the first PointCloud2/CustomMsg and first Imu connection seen.
+
+    `gps_topic` (explicit, like LIO-SAM's gpsTopic param) may carry
+    nav_msgs/Odometry (navsat odometry, already in a local frame — what
+    LIO-SAM consumes) or sensor_msgs/NavSatFix (raw lat/lon/alt, converted
+    to local ENU around the first fix, the navsat_transform analog). Each
+    sweep carries the latest fix at or before it."""
     imu_buf: list = []
+    gps_latest: Optional[tuple] = None  # (pos (3,), cov_diag (3,))
+    lla_origin: Optional[np.ndarray] = None
     for topic, dtype, stamp, raw in rb.read_messages(path):
+        if gps_topic is not None and topic == gps_topic:
+            if dtype == _ODOM:
+                m = rb.decode_odometry(raw)
+                gps_latest = (m["position"].copy(),
+                              np.diag(m["cov"])[:3].copy())
+            elif dtype == _NAVSAT:
+                m = rb.decode_navsatfix(raw)
+                if m["status"] >= 0:  # skip no-fix samples
+                    if lla_origin is None:
+                        lla_origin = m["lla"].copy()
+                    gps_latest = (rb.lla_to_local(m["lla"], lla_origin),
+                                  np.diag(m["cov"]).copy())
+            continue
         if dtype == _IMU and (imu_topic is None or topic == imu_topic):
             if imu_topic is None:
                 imu_topic = topic
@@ -115,7 +143,9 @@ def stream_bag(
             px, pt, pm, pr = _pad_points(xyz, rel_t, ring, max_points)
             g, a, d, mm = _pad_imu(imu_buf, imu_capacity)
             imu_buf = []
-            yield SweepBundle(stamp, px, pt, pm, pr, g, a, d, mm)
+            gp, gc = gps_latest if gps_latest is not None else (None, None)
+            gps_latest = None  # one factor per fix (LIO-SAM pops its gps queue)
+            yield SweepBundle(stamp, px, pt, pm, pr, g, a, d, mm, gp, gc)
         elif dtype == _LIVOX and (lidar_topic is None or topic == lidar_topic):
             if lidar_topic is None:
                 lidar_topic = topic
@@ -125,7 +155,9 @@ def stream_bag(
                 f["line"].astype(np.int32), max_points)
             g, a, d, mm = _pad_imu(imu_buf, imu_capacity)
             imu_buf = []
-            yield SweepBundle(stamp, px, pt, pm, pr, g, a, d, mm)
+            gp, gc = gps_latest if gps_latest is not None else (None, None)
+            gps_latest = None
+            yield SweepBundle(stamp, px, pt, pm, pr, g, a, d, mm, gp, gc)
 
 
 def bundle_to_grid(b: SweepBundle, rings: int, width: int,

@@ -121,3 +121,30 @@ def write_bag(path: str,
                          "chunk_count": struct.pack("<I", 1)}, b""))
         f.write(_record({"op": b"\x05", "compression": b"none",
                          "size": struct.pack("<I", len(chunk))}, chunk))
+
+
+def encode_odometry(position, orientation=(0.0, 0.0, 0.0, 1.0),
+                    cov_diag=(1.0,) * 6, stamp: float = 0.0,
+                    frame: str = "odom", child_frame: str = "base_link") -> bytes:
+    """nav_msgs/Odometry (twist zeroed) — the LIO-SAM GPS input format."""
+    out = std_msg_header(stamp, frame)
+    out += _string(child_frame)
+    out += struct.pack("<3d", *position) + struct.pack("<4d", *orientation)
+    cov = np.zeros((6, 6), np.float64)
+    np.fill_diagonal(cov, cov_diag)
+    out += cov.tobytes()
+    out += struct.pack("<6d", 0, 0, 0, 0, 0, 0) + b"\x00" * 288  # twist + cov
+    return out
+
+
+def encode_navsatfix(lla, cov_diag=(1.0, 1.0, 4.0), stamp: float = 0.0,
+                     frame: str = "gps", status: int = 0) -> bytes:
+    """sensor_msgs/NavSatFix with diagonal position covariance."""
+    out = std_msg_header(stamp, frame)
+    out += struct.pack("<bH", status, 1)  # status, service=GPS
+    out += struct.pack("<3d", *lla)
+    cov = np.zeros((3, 3), np.float64)
+    np.fill_diagonal(cov, cov_diag)
+    out += cov.tobytes()
+    out += bytes([2])  # DIAGONAL_KNOWN
+    return out

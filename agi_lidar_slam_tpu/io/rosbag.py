@@ -243,3 +243,48 @@ def decode_livox_custom(raw: bytes) -> Dict[str, np.ndarray]:
         "line": pts["line"],
         "timebase": timebase,
     }
+
+
+def decode_odometry(raw: bytes) -> Dict[str, np.ndarray]:
+    """nav_msgs/Odometry -> {position (3,), orientation (4: x,y,z,w),
+    cov (6,6)}. This is the GPS input format of LIO-SAM (its `gpsTopic`
+    "odometry/gpsz" is robot_localization's navsat odometry; addGPSFactor
+    reads pose.position + covariance diag, mapOptmization.cpp:1879-1957)."""
+    i = _skip_header(raw, 0)
+    _, i = _read_string(raw, i)  # child_frame_id
+    position = np.frombuffer(raw, np.float64, 3, i)
+    i += 24
+    orientation = np.frombuffer(raw, np.float64, 4, i)
+    i += 32
+    cov = np.frombuffer(raw, np.float64, 36, i).reshape(6, 6)
+    return {"position": position, "orientation": orientation, "cov": cov}
+
+
+def decode_navsatfix(raw: bytes) -> Dict[str, np.ndarray]:
+    """sensor_msgs/NavSatFix -> {lla (3: lat,lon,alt deg/m), cov (3,3),
+    status, cov_type}. status < 0 means no fix (NavSatStatus.STATUS_NO_FIX)."""
+    i = _skip_header(raw, 0)
+    status = struct.unpack_from("<b", raw, i)[0]
+    i += 1
+    i += 2  # service (uint16)
+    lla = np.frombuffer(raw, np.float64, 3, i)
+    i += 24
+    cov = np.frombuffer(raw, np.float64, 9, i).reshape(3, 3)
+    i += 72
+    cov_type = raw[i]
+    return {"lla": lla, "cov": cov, "status": status, "cov_type": cov_type}
+
+
+_EARTH_R = 6378137.0  # WGS84 equatorial radius (m)
+
+
+def lla_to_local(lla: np.ndarray, origin: np.ndarray) -> np.ndarray:
+    """Equirectangular lat/lon/alt -> local ENU meters around `origin`
+    (the small-area approximation robot_localization's navsat_transform
+    uses for the scales LIO-SAM operates at)."""
+    lat0, lon0 = np.deg2rad(origin[0]), np.deg2rad(origin[1])
+    lat, lon = np.deg2rad(lla[0]), np.deg2rad(lla[1])
+    east = (lon - lon0) * np.cos(lat0) * _EARTH_R
+    north = (lat - lat0) * _EARTH_R
+    up = lla[2] - origin[2]
+    return np.asarray([east, north, up], np.float64)

@@ -40,6 +40,13 @@ def main() -> int:
                          "livox: sliding-window MAP; liosam: IMU-coupled + graph")
     ap.add_argument("--lidar-topic", default=None)
     ap.add_argument("--imu-topic", default=None)
+    ap.add_argument("--gps-topic", default=None,
+                    help="bag GPS topic (nav_msgs/Odometry or NavSatFix); "
+                         "adds unary GPS factors in slam/liosam engines "
+                         "(LIO-SAM gpsTopic)")
+    ap.add_argument("--gps-cov-thresh", type=float, default=2.0,
+                    help="skip GPS fixes whose position covariance exceeds "
+                         "this (LIO-SAM gpsCovThreshold)")
     ap.add_argument("--rings", type=int, default=None,
                     help="grid rows for bag feature engines (default 16, or "
                          "6 for livox CustomMsg)")
@@ -210,11 +217,25 @@ def _run_bag(args) -> int:
     n = 0
     t_start = time.perf_counter()
     stream = stream_bag(args.bag, lidar_topic=args.lidar_topic,
-                        imu_topic=args.imu_topic, max_points=args.max_points)
+                        imu_topic=args.imu_topic, max_points=args.max_points,
+                        gps_topic=args.gps_topic)
 
     def imu_win(b):
         return ImuWindow(jnp.asarray(b.imu_gyro), jnp.asarray(b.imu_acc),
                          jnp.asarray(b.imu_dt), jnp.asarray(b.imu_mask))
+
+    n_gps_used = 0
+
+    def gps_of(b):
+        """Covariance-gated GPS fix for the factor graph (addGPSFactor's
+        gpsCovThreshold gate, mapOptmization.cpp:1894-1896)."""
+        nonlocal n_gps_used
+        if b.gps is None:
+            return None
+        if b.gps_cov is not None and float(np.max(b.gps_cov[:2])) > args.gps_cov_thresh:
+            return None
+        n_gps_used += 1
+        return jnp.asarray(np.asarray(b.gps, np.float32))
 
     state = None
     driver = None
@@ -268,7 +289,7 @@ def _run_bag(args) -> int:
         for b in stream:
             grid = bundle_to_grid(b, rings, args.width, args.fov_up, args.fov_down)
             with timer.stage("scan"):
-                res = driver.process(grid, imu_win(b))
+                res = driver.process(grid, imu_win(b), gps=gps_of(b))
             est.append(np.asarray(res.pose.t))
             metrics.log_scan(n, res, 0.0)
             n += 1
@@ -349,7 +370,7 @@ def _run_bag(args) -> int:
                 grid = deskew_imu_rotation(grid, win.gyro, win.dt, win.mask, rel_t)
             with timer.stage("scan"):
                 if driver is not None:
-                    res = driver.process(grid)
+                    res = driver.process(grid, gps=gps_of(b))
                 else:
                     state, res = process_scan(state, grid, pcfg)
             est.append(np.asarray(res.pose.t))
@@ -369,6 +390,8 @@ def _run_bag(args) -> int:
     est = np.stack(est)
     print(f"processed {n} scans in {wall:.2f}s ({n / wall:.2f} scans/s)")
     print("stage timing:", timer.summary())
+    if args.gps_topic:
+        print(f"gps factors added: {n_gps_used}")
     if args.traj_out:
         with open(args.traj_out, "w") as f:
             for p in est:
