@@ -128,3 +128,20 @@ def relocalize_state(cfg, corner_points: np.ndarray, surf_points: np.ndarray,
     # XLA rejects donating one buffer twice
     prev = jax.tree.map(jnp.copy, pose)
     return state._replace(corner_map=cmap, surf_map=smap, pose=pose, prev_pose=prev)
+
+
+def relocalize_lio_state(cfg, map_points: np.ndarray, init_pose=None):
+    """LioState localized in a prior map — the direct laserMapping_re analog
+    (S-FAST_LIO loads GlobalMap.pcd into the ikd-Tree at startup :350 and
+    seeds pos/rot from the mapping/init_* params :541-589). `cfg` is a
+    LioConfig; `init_pose` an se3.Pose seed for the IMU body frame."""
+    from ..map.hash_map import insert
+    from ..runtime.lio_pipeline import init_lio_state
+
+    state = init_lio_state(cfg)
+    m = insert(state.map, jnp.asarray(map_points),
+               jnp.ones(len(map_points), dtype=bool), cfg.map)
+    x = state.x
+    if init_pose is not None:
+        x = x._replace(p=jnp.asarray(init_pose.t), q=jnp.asarray(init_pose.q))
+    return state._replace(map=m, x=x)

@@ -80,3 +80,44 @@ class TestCheckpoint:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestLioRelocalization:
+    def test_relocalize_lio_in_prior_map(self):
+        """laserMapping_re analog for the IESKF engine: build a map with one
+        run, relocalize a FRESH LioState in it (prior map + seeded pose) and
+        track from there without a map-building phase."""
+        from test_lio import (CFG as LCFG, RADIUS, OMEGA, SCAN_DT,
+                              circle_velocity, make_sequence)
+
+        from agi_lidar_slam_tpu.imu.eskf import NavState
+        from agi_lidar_slam_tpu.io.checkpoint import relocalize_lio_state
+        from agi_lidar_slam_tpu.runtime.lio_pipeline import (init_lio_state,
+                                                             process_lio_scan)
+
+        n = 6
+        scans, windows, gts = make_sequence(n)
+        x0 = NavState.identity()._replace(v=circle_velocity(0.0, RADIUS, OMEGA))
+        state = init_lio_state(LCFG, x0)
+        for scan, win in zip(scans[:4], windows[:4]):
+            state, _ = process_lio_scan(
+                state, scan.xyz.reshape(-1, 3),
+                (scan.time * SCAN_DT).reshape(-1), scan.mask.reshape(-1),
+                win, LCFG)
+        prior_pts = map_to_points(state.map)
+        assert len(prior_pts) > 500
+
+        # fresh engine localized at the scan-4 ground truth in the prior map
+        seed = gts[3]
+        st2 = relocalize_lio_state(LCFG, prior_pts, seed)
+        assert int(st2.map.num_points()) > 500
+        st2 = st2._replace(x=st2.x._replace(
+            v=circle_velocity(4 * SCAN_DT, RADIUS, OMEGA)))
+        for scan, win, gt in zip(scans[4:], windows[4:], gts[4:]):
+            st2, res = process_lio_scan(
+                st2, scan.xyz.reshape(-1, 3),
+                (scan.time * SCAN_DT).reshape(-1), scan.mask.reshape(-1),
+                win, LCFG)
+        err = float(jnp.linalg.norm(res.x.p - gts[-1].t))
+        assert err < 0.25, err
+        assert int(res.n_matches) > 200

@@ -68,9 +68,19 @@ def main() -> int:
     ap.add_argument("--viz", help="render trajectory/metrics PNG after the run")
     ap.add_argument("--slam", action="store_true",
                     help="full SLAM (keyframes + loop closure) instead of odometry")
+    ap.add_argument("--load-map",
+                    help="relocalization mode (laserMapping_re analog): dir "
+                         "with CornerMap.pcd/SurfMap.pcd from --save-map; the "
+                         "engine starts localized in that prior map "
+                         "(odom/slam engines)")
+    ap.add_argument("--init-pose", default="0,0,0,0",
+                    help="relocalization seed 'x,y,z,yaw_deg' (mapping "
+                         "init_pos/init_rot params)")
     args = ap.parse_args()
     if args.engine is None:
         args.engine = "slam" if args.slam else "odom"
+    if args.load_map and args.engine not in ("odom", "slam", "lio"):
+        ap.error("--load-map relocalization covers the odom/slam/lio engines")
 
     if args.bag:
         return _run_bag(args)
@@ -135,6 +145,8 @@ def main() -> int:
         from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig, SlamDriver
 
         driver = SlamDriver(SlamConfig(pipeline=cfg))
+        if args.load_map:
+            driver.state = driver.state._replace(engine=_reloc_state(args, cfg))
         n = 0
         t_start = time.perf_counter()
         for scan in scans:
@@ -148,7 +160,7 @@ def main() -> int:
         state = driver.state.engine
         print(f"loops closed: {driver.n_loops_closed}")
     else:
-        state = init_state(cfg)
+        state = _reloc_state(args, cfg) if args.load_map else init_state(cfg)
         n = 0
         t_start = time.perf_counter()
         for scan in scans:
@@ -182,6 +194,25 @@ def main() -> int:
     metrics.close()
     _maybe_viz(args)
     return 0
+
+
+def _reloc_state(args, cfg):
+    """Prior-map relocalization (S-FAST_LIO laserMapping_re.cpp:350,541-589):
+    prefill the engine maps from a saved bundle and seed the pose from
+    --init-pose (the init_pos/init_rot params)."""
+    import jax.numpy as jnp
+
+    from agi_lidar_slam_tpu.geometry import se3, so3
+    from agi_lidar_slam_tpu.io.checkpoint import read_pcd, relocalize_state
+
+    corner = read_pcd(os.path.join(args.load_map, "CornerMap.pcd"))
+    surf = read_pcd(os.path.join(args.load_map, "SurfMap.pcd"))
+    x, y, z, yaw = (float(v) for v in args.init_pose.split(","))
+    pose = se3.Pose(so3.quat_exp(jnp.asarray([0.0, 0.0, float(np.deg2rad(yaw))])),
+                    jnp.asarray([x, y, z]))
+    print(f"relocalizing in {args.load_map}: {len(corner)} corner / "
+          f"{len(surf)} surf map points, seed ({x}, {y}, {z}, {yaw} deg)")
+    return relocalize_state(cfg, corner, surf, pose)
 
 
 def _maybe_viz(args):
@@ -245,11 +276,33 @@ def _run_bag(args) -> int:
             LioConfig, init_lio_state, process_lio_scan)
 
         cfg = LioConfig()
+        reloc = None
+        if args.load_map:
+            from agi_lidar_slam_tpu.geometry import se3, so3
+            from agi_lidar_slam_tpu.io.checkpoint import (read_pcd,
+                                                          relocalize_lio_state)
+
+            pts = read_pcd(os.path.join(args.load_map, "GlobalMap.pcd"))
+            x, y, z, yaw = (float(v) for v in args.init_pose.split(","))
+            seed = se3.Pose(
+                so3.quat_exp(jnp.asarray([0.0, 0.0, float(np.deg2rad(yaw))])),
+                jnp.asarray([x, y, z]))
+            reloc = (pts, seed)
+            print(f"relocalizing in {args.load_map}: {len(pts)} map points, "
+                  f"seed ({x}, {y}, {z}, {yaw} deg)")
         for b in stream:
             win = imu_win(b)
             if state is None:
                 x0 = static_init(win.gyro, win.acc, win.mask)
                 state = init_lio_state(cfg, x0)
+                if reloc is not None:
+                    from agi_lidar_slam_tpu.io.checkpoint import \
+                        relocalize_lio_state
+
+                    state = relocalize_lio_state(cfg, reloc[0], reloc[1])
+                    # keep the static-init gravity/bias estimates, seed the pose
+                    state = state._replace(
+                        x=x0._replace(p=state.x.p, q=state.x.q))
             with timer.stage("scan"):
                 state, res = process_lio_scan(
                     state, jnp.asarray(b.xyz), jnp.asarray(b.rel_time),
@@ -354,6 +407,11 @@ def _run_bag(args) -> int:
         rings = args.rings or 16
         if args.engine == "slam":
             driver = SlamDriver(SlamConfig(pipeline=pcfg))
+            if args.load_map:
+                driver.state = driver.state._replace(
+                    engine=_reloc_state(args, pcfg))
+        elif args.load_map:
+            state = _reloc_state(args, pcfg)
         else:
             state = init_state(pcfg)
         for b in stream:
@@ -403,6 +461,14 @@ def _run_bag(args) -> int:
         from agi_lidar_slam_tpu.io.checkpoint import save_map_bundle
 
         save_map_bundle(args.save_map, final_state, trajectory=est)
+        print("maps written:", args.save_map)
+    elif args.save_map and args.engine == "lio":
+        from agi_lidar_slam_tpu.io.checkpoint import export_pcd, map_to_points
+
+        os.makedirs(args.save_map, exist_ok=True)
+        export_pcd(os.path.join(args.save_map, "GlobalMap.pcd"),
+                   map_to_points(final_state.map))
+        export_pcd(os.path.join(args.save_map, "trajectory.pcd"), est)
         print("maps written:", args.save_map)
     metrics.close()
     _maybe_viz(args)
