@@ -84,3 +84,71 @@ def rpe_rmse(
         dg = np.einsum("nij,nj->ni", Rg.transpose(0, 2, 1), dg)
     err = np.linalg.norm(de - dg, axis=1)
     return float(np.sqrt((err**2).mean()))
+
+
+def _traj_to_mats(t: np.ndarray, q: np.ndarray | None) -> np.ndarray:
+    """(N,3) positions [+ (N,4) xyzw quats] -> (N,4,4) homogeneous poses."""
+    t = np.asarray(t, dtype=np.float64)
+    N = t.shape[0]
+    T = np.tile(np.eye(4), (N, 1, 1))
+    T[:, :3, 3] = t
+    if q is not None:
+        T[:, :3, :3] = _quat_to_mat(np.asarray(q))
+    return T
+
+
+def kitti_drift(
+    est: np.ndarray,
+    gt: np.ndarray,
+    est_q: np.ndarray | None = None,
+    gt_q: np.ndarray | None = None,
+    lengths: tuple = (100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0),
+    step: int = 10,
+) -> dict:
+    """The official KITTI odometry metric: average translational error (% of
+    segment length) and rotational error (deg/m) over all subsequences of the
+    given lengths, evaluated every `step` frames. This is the number the
+    SURVEY section 6 envelope cites (A-LOAM class ~= 0.55-0.8% drift).
+
+    est/gt are (N,3) positions; est_q/gt_q optional (N,4) xyzw orientations
+    (without them rotational error is reported as nan and translational error
+    uses world-frame endpoint error, exact when gt_q is identity-aligned).
+    Lengths with no complete segment are skipped; returns
+    {"t_rel_pct", "r_deg_per_m", "n_segments", "per_length": {L: pct}}.
+    """
+    Te = _traj_to_mats(est, est_q)
+    Tg = _traj_to_mats(gt, gt_q)
+    N = Te.shape[0]
+    seg = np.linalg.norm(np.diff(Tg[:, :3, 3], axis=0), axis=1)
+    dist = np.concatenate([[0.0], np.cumsum(seg)])
+
+    t_errs, r_errs, per_len = [], [], {}
+    for L in lengths:
+        errs_L = []
+        for i in range(0, N, step):
+            # first frame at least L meters of gt path past frame i
+            j = int(np.searchsorted(dist, dist[i] + L))
+            if j >= N:
+                break
+            rel_g = np.linalg.inv(Tg[i]) @ Tg[j]
+            rel_e = np.linalg.inv(Te[i]) @ Te[j]
+            E = np.linalg.inv(rel_g) @ rel_e
+            t_err = np.linalg.norm(E[:3, 3]) / L
+            cosang = np.clip((np.trace(E[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+            r_err = np.degrees(np.arccos(cosang)) / L
+            errs_L.append((t_err, r_err))
+        if errs_L:
+            arr = np.asarray(errs_L)
+            per_len[float(L)] = float(arr[:, 0].mean() * 100.0)
+            t_errs.extend(arr[:, 0])
+            r_errs.extend(arr[:, 1])
+    if not t_errs:
+        return {"t_rel_pct": float("nan"), "r_deg_per_m": float("nan"),
+                "n_segments": 0, "per_length": {}}
+    has_rot = est_q is not None and gt_q is not None
+    return {
+        "t_rel_pct": float(np.mean(t_errs) * 100.0),
+        "r_deg_per_m": float(np.mean(r_errs)) if has_rot else float("nan"),
+        "n_segments": len(t_errs),
+        "per_length": per_len,
+    }

@@ -70,3 +70,57 @@ class TestRpe:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestKittiDrift:
+    def test_exact_scale_drift(self):
+        """1% scale error along a straight line = exactly 1% translational
+        drift at every segment length."""
+        from agi_lidar_slam_tpu.eval.metrics import kitti_drift
+
+        n = 1200
+        gt = np.zeros((n, 3))
+        gt[:, 0] = np.arange(n) * 1.0  # 1 m/frame, plenty of 800 m segments
+        est = gt * 1.01
+        out = kitti_drift(est, gt, step=50)
+        assert out["n_segments"] > 0
+        assert abs(out["t_rel_pct"] - 1.0) < 1e-6
+        for L, pct in out["per_length"].items():
+            assert abs(pct - 1.0) < 1e-6, (L, pct)
+
+    def test_rotation_error_deg_per_m(self):
+        """A constant heading bias of 0.01 rad held over every segment gives
+        r_err = deg(0.01)/L per segment."""
+        from agi_lidar_slam_tpu.eval.metrics import kitti_drift
+        from agi_lidar_slam_tpu.geometry import so3
+        import jax.numpy as jnp
+
+        n = 400
+        gt = np.zeros((n, 3))
+        gt[:, 0] = np.arange(n) * 1.0
+        qi = np.tile(np.asarray([0, 0, 0, 1.0]), (n, 1))
+        qb = np.asarray(so3.quat_exp(jnp.asarray([0.0, 0.0, 0.01])))
+        qe = np.tile(qb, (n, 1))
+        out = kitti_drift(gt, gt, est_q=qe, gt_q=qi, lengths=(100.0, 200.0),
+                          step=20)
+        # E rotation == identity (bias cancels inside each segment)... unless
+        # the bias is constant, in which case rel rotations match: r_err = 0
+        assert out["r_deg_per_m"] < 1e-9
+
+    def test_growing_yaw_is_penalized(self):
+        from agi_lidar_slam_tpu.eval.metrics import kitti_drift
+        from agi_lidar_slam_tpu.geometry import so3
+        import jax.numpy as jnp
+
+        n = 400
+        gt = np.zeros((n, 3))
+        gt[:, 0] = np.arange(n) * 1.0
+        qi = np.tile(np.asarray([0, 0, 0, 1.0]), (n, 1))
+        rate = 1e-4  # rad per frame (= per meter here)
+        qe = np.stack([
+            np.asarray(so3.quat_exp(jnp.asarray([0.0, 0.0, rate * i])))
+            for i in range(n)
+        ])
+        out = kitti_drift(gt, gt, est_q=qe, gt_q=qi, lengths=(100.0,), step=20)
+        # yaw grows rate rad/m -> r_err = deg(rate)/m
+        assert abs(out["r_deg_per_m"] - np.degrees(rate)) < 1e-6

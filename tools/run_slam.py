@@ -179,6 +179,13 @@ def main() -> int:
         err = ate_rmse(est, gt_positions[: len(est)])
         err_na = ate_rmse(est, gt_positions[: len(est)], align=False)
         print(f"ATE RMSE: {err:.3f} m (aligned), {err_na:.3f} m (raw)")
+        from agi_lidar_slam_tpu.eval.metrics import kitti_drift
+
+        d = kitti_drift(est, gt_positions[: len(est)])
+        if d["n_segments"]:
+            print(f"KITTI drift: {d['t_rel_pct']:.3f}% translational "
+                  f"({d['n_segments']} segments; per-length "
+                  f"{ {k: round(v, 3) for k, v in d['per_length'].items()} })")
     if args.traj_out:
         from agi_lidar_slam_tpu.geometry import so3 as _so3
 
