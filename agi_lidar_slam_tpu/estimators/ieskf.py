@@ -43,6 +43,16 @@ class IeskfConfig(NamedTuple):
     gate_sq: float = 1.0
     max_resid: float = 0.5  # hard cap on |point-to-plane residual| (m)
     plane_tol: float = 0.1  # esti_plane threshold (common_lib.h:104)
+    # residual acceptance form: "cap" gates |r| < max_resid; "sform" is the
+    # reference's own s = 1 - 0.9 |r| / sqrt(||p_body||) > 0.9 (esekfom.hpp:163)
+    # — range-adaptive (far points tolerate larger residuals)
+    resid_gate: str = "cap"
+    # online lidar-IMU extrinsic estimation (the reference's extrinsic_est_en,
+    # laserMapping.cpp param, esekfom.hpp:150-160: H's dtheta_li/dt_li columns
+    # are zeroed when off). Default OFF as in every reference launch file —
+    # the extrinsic columns duplicate the pose columns on degenerate scenes
+    # (e.g. a single plane), silently splitting corrections between them.
+    est_extrinsic: bool = False
 
 
 def _h_model(
@@ -62,18 +72,29 @@ def _h_model(
     gate = res.sq_dists[:, cfg.k_neighbors - 1] < cfg.gate_sq
     plane = fit_planes(res.points, res.valid, cfg.plane_tol)
     r = jnp.einsum("ni,ni->n", plane.normal, world) + plane.offset
-    # validity: plane ok + gate + residual not absurd (esekfom gates s>0.9)
-    ok = pts_l.mask & gate & plane.ok & (jnp.abs(r) < cfg.max_resid)
+    # validity: plane ok + gate + residual acceptance (cap or reference s-form)
+    if cfg.resid_gate == "sform":
+        s = 1.0 - 0.9 * jnp.abs(r) / jnp.sqrt(
+            jnp.maximum(jnp.linalg.norm(pts_l.xyz, axis=-1), 1e-6))
+        resid_ok = s > 0.9
+    else:
+        resid_ok = jnp.abs(r) < cfg.max_resid
+    ok = pts_l.mask & gate & plane.ok & resid_ok
     r = jnp.where(ok, r, 0.0)
 
     n = plane.normal
+    if cfg.est_extrinsic:
+        H_ext = [
+            -jnp.einsum("ni,nij->nj", n @ R @ R_li, so3.hat(pts_l.xyz)),  # d/dtheta_li
+            n @ R,  # d/dt_li
+        ]
+    else:  # extrinsic_est_en=false: frozen extrinsic, zero columns
+        H_ext = [jnp.zeros_like(n), jnp.zeros_like(n)]
     H = jnp.concatenate(
         [
             n,  # d/dp
             -jnp.einsum("ni,nij->nj", n @ R, so3.hat(body)),  # d/dtheta (n^T R (-[body]x))
-            -jnp.einsum("ni,nij->nj", n @ R @ R_li, so3.hat(pts_l.xyz)),  # d/dtheta_li
-            n @ R,  # d/dt_li
-        ],
+        ] + H_ext,
         axis=-1,
     )
     H = jnp.where(ok[:, None], H, 0.0)
@@ -94,8 +115,8 @@ def update_iterated(
     P_inv = jax.scipy.linalg.cho_solve((Lp, True), jnp.eye(DIM))
     P_inv = 0.5 * (P_inv + P_inv.T)
 
-    def body(_, carry):
-        x, _, _ = carry
+    def body(carry):
+        i, x, _, _ = carry
         H, r, ok = _h_model(x, pts_l, smap, map_cfg, cfg)
         HtH = (H.T @ H) * inv_R  # (12,12) effective, embedded in 24
         A = P_inv.at[:12, :12].add(HtH)
@@ -106,16 +127,24 @@ def update_iterated(
         dx = jax.scipy.linalg.cho_solve((L, True), rhs)
         x_new = boxplus(x, dx)
         rms = jnp.sqrt(jnp.sum(r * r) / jnp.maximum(jnp.sum(ok), 1))
-        return x_new, jnp.sum(ok), rms
+        return i + 1, x_new, jnp.sum(ok), jnp.linalg.norm(dx)
 
-    x, n_ok, rms = jax.lax.fori_loop(
-        0, cfg.max_iters, body, (x_prop, jnp.int32(0), jnp.float32(0.0))
+    def keep_going(carry):
+        # the reference's convergence exit: stop once |dx| < eps, capped at
+        # max_iters (update_iterated_dyn_share_modified, esekfom.hpp:292-334)
+        i, _, _, dx_norm = carry
+        return (i < cfg.max_iters) & ((i == 0) | (dx_norm >= cfg.converge_eps))
+
+    _, x, n_ok, _ = jax.lax.while_loop(
+        keep_going, body, (jnp.int32(0), x_prop, jnp.int32(0), jnp.float32(jnp.inf))
     )
     # final covariance from the last linearization. The reference uses
     # P = (I - K H) P (esekfom.hpp:342), which drifts non-PSD in f32 over long
     # runs; we use the Joseph form P = (I-KH) P (I-KH)^T + K Rm K^T, which is
     # PSD by construction (equal in exact arithmetic for the optimal K).
     H, r, ok = _h_model(x, pts_l, smap, map_cfg, cfg)
+    n_ok = jnp.sum(ok)
+    rms = jnp.sqrt(jnp.sum(r * r) / jnp.maximum(n_ok, 1))
     HtH = (H.T @ H) * inv_R
     A = P_inv.at[:12, :12].add(HtH)
     L = jnp.linalg.cholesky(A + 1e-6 * jnp.eye(DIM))

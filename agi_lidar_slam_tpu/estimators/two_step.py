@@ -30,16 +30,17 @@ _CORNER_IDX = jnp.asarray([2, 3, 4])
 
 
 def _solve_subset(H: jnp.ndarray, g: jnp.ndarray, idx: jnp.ndarray,
-                  eig_thresh: float) -> jnp.ndarray:
+                  eig_thresh: float):
     """Solve the 3-dof restriction of H d = -g with eigenvalue clamping;
-    returns a full 6-vector with zeros elsewhere."""
+    returns (full 6-vector with zeros elsewhere, any-direction-clamped bool —
+    the matP degeneracy flag of featureAssociation.cpp:1651-1678)."""
     Hs = H[jnp.ix_(idx, idx)]
     gs = g[idx]
     vals, vecs = jnp.linalg.eigh(Hs)
     good = vals > eig_thresh
     inv = jnp.where(good, 1.0 / jnp.where(good, vals, 1.0), 0.0)
     d = -(vecs * inv[None, :]) @ (vecs.T @ gs)
-    return jnp.zeros(6, dtype=H.dtype).at[idx].set(d)
+    return jnp.zeros(6, dtype=H.dtype).at[idx].set(d), ~jnp.all(good)
 
 
 def solve_scan2map_two_step(
@@ -81,12 +82,14 @@ def solve_scan2map_two_step(
             pose, _ = carry2
             # step 1: surf rows only -> (roll, pitch, z)
             Hs, gs, (_, n_s, sq_s, nr_s) = normal_equations(pose, c_i, s_i, corr_surf, cfg)
-            pose = se3.boxplus(pose, _solve_subset(Hs, gs, _SURF_IDX, cfg.degen_eig_thresh))
+            d_s, degen_s = _solve_subset(Hs, gs, _SURF_IDX, cfg.degen_eig_thresh)
+            pose = se3.boxplus(pose, d_s)
             # step 2: corner rows only -> (yaw, x, y)
             Hc, gc, (n_c, _, sq_c, nr_c) = normal_equations(pose, c_i, s_i, corr_corner, cfg)
-            pose = se3.boxplus(pose, _solve_subset(Hc, gc, _CORNER_IDX, cfg.degen_eig_thresh))
+            d_c, degen_c = _solve_subset(Hc, gc, _CORNER_IDX, cfg.degen_eig_thresh)
+            pose = se3.boxplus(pose, d_c)
             rms = jnp.sqrt((sq_s + sq_c) / jnp.maximum(nr_s + nr_c, 1.0))
-            return pose, GnStats(n_c, n_s, rms, jnp.bool_(False))
+            return pose, GnStats(n_c, n_s, rms, degen_s | degen_c)
 
         return jax.lax.fori_loop(0, cfg.n_inner, inner, carry)
 

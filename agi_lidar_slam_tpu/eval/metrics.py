@@ -58,6 +58,38 @@ def _quat_to_mat(q: np.ndarray) -> np.ndarray:
     return R
 
 
+def mat_to_quat(R: np.ndarray) -> np.ndarray:
+    """(N,3,3) rotation matrices -> (N,4) [x,y,z,w] quaternions (Shepperd's
+    branch-free variant via the largest diagonal pivot). Used to thread
+    ground-truth orientations from KITTI pose files into kitti_drift."""
+    R = np.asarray(R, dtype=np.float64)
+    t = np.trace(R, axis1=-2, axis2=-1)
+    q = np.empty(R.shape[:-2] + (4,))
+    # four candidate formulations; pick per-row by the largest pivot
+    cand = np.stack([1.0 + t,
+                     1.0 + 2.0 * R[:, 0, 0] - t,
+                     1.0 + 2.0 * R[:, 1, 1] - t,
+                     1.0 + 2.0 * R[:, 2, 2] - t], axis=-1)
+    pivot = np.argmax(cand, axis=-1)
+    s = 2.0 * np.sqrt(np.maximum(np.take_along_axis(cand, pivot[:, None], -1)[:, 0], 1e-12))
+    for k in range(R.shape[0]):
+        p, sk = pivot[k], s[k]
+        m = R[k]
+        if p == 0:
+            q[k] = [(m[2, 1] - m[1, 2]) / sk, (m[0, 2] - m[2, 0]) / sk,
+                    (m[1, 0] - m[0, 1]) / sk, 0.25 * sk]
+        elif p == 1:
+            q[k] = [0.25 * sk, (m[0, 1] + m[1, 0]) / sk,
+                    (m[0, 2] + m[2, 0]) / sk, (m[2, 1] - m[1, 2]) / sk]
+        elif p == 2:
+            q[k] = [(m[0, 1] + m[1, 0]) / sk, 0.25 * sk,
+                    (m[1, 2] + m[2, 1]) / sk, (m[0, 2] - m[2, 0]) / sk]
+        else:
+            q[k] = [(m[0, 2] + m[2, 0]) / sk, (m[1, 2] + m[2, 1]) / sk,
+                    0.25 * sk, (m[1, 0] - m[0, 1]) / sk]
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
 def rpe_rmse(
     est: np.ndarray,
     gt: np.ndarray,

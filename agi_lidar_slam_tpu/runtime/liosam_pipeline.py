@@ -47,6 +47,7 @@ from .slam_pipeline import (
     _correct_and_rebuild,
     _detect_step,
     _gps_edge,
+    _gps_fix,
     _keyframe_step,
 )
 
@@ -300,7 +301,8 @@ class LioSamDriver:
             self.bank, self.edges, self.last_kf, sres,
             self.state.engine.frame, cfg.slam)
         if gps is not None:
-            self.edges = _gps_edge(self.bank, self.edges, jnp.asarray(gps),
+            pos, w = _gps_fix(gps, cfg.slam)
+            self.edges = _gps_edge(self.bank, self.edges, pos, w,
                                    added, cfg.slam)
 
         self.host_frame += 1

@@ -21,6 +21,7 @@ class StageTimer:
     def __init__(self):
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        self.last_ms: float = 0.0  # duration of the most recent stage (ms)
 
     @contextmanager
     def stage(self, name: str):
@@ -31,6 +32,7 @@ class StageTimer:
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
+            self.last_ms = dt * 1e3
 
     def summary(self) -> Dict[str, float]:
         return {

@@ -67,19 +67,40 @@ def merge_banks(banks: List[KeyframeBank], capacity: Optional[int] = None
 
 def odometry_edges(banks: List[KeyframeBank], weights=(1e4, 1e4),
                    capacity: int = 4096) -> EdgeSet:
-    """Within-session odometry BetweenFactors on the MERGED index space."""
-    edges = empty_edges(capacity)
+    """Within-session odometry BetweenFactors on the MERGED index space.
+
+    One batched between_measurement per session + one array write for the
+    whole edge set (a per-edge add_edge loop costs O(K) device launches —
+    pathological at multi-session city scale)."""
+    ii, jj, zq, zt = [], [], [], []
     ofs = 0
     for b in banks:
         n = int(b.count)
-        for i in range(1, n):
-            z = between_measurement(se3.Pose(b.q[i - 1], b.t[i - 1]),
-                                    se3.Pose(b.q[i], b.t[i]))
-            edges = add_edge(edges, jnp.int32(ofs + i - 1), jnp.int32(ofs + i),
-                             z, weights[0], weights[1], kind=0,
-                             do_add=jnp.bool_(True))
+        if n >= 2:
+            z = between_measurement(se3.Pose(b.q[: n - 1], b.t[: n - 1]),
+                                    se3.Pose(b.q[1:n], b.t[1:n]))
+            ii.append(np.arange(ofs, ofs + n - 1, dtype=np.int32))
+            jj.append(np.arange(ofs + 1, ofs + n, dtype=np.int32))
+            zq.append(np.asarray(z.q))
+            zt.append(np.asarray(z.t))
         ofs += n
-    return edges
+    edges = empty_edges(capacity)
+    if not ii:
+        return edges
+    i_all = np.concatenate(ii)
+    E = i_all.shape[0]
+    if E > capacity:
+        raise ValueError(f"{E} odometry edges exceed edge capacity {capacity}")
+    return edges._replace(
+        i=edges.i.at[:E].set(jnp.asarray(i_all)),
+        j=edges.j.at[:E].set(jnp.asarray(np.concatenate(jj))),
+        z_q=edges.z_q.at[:E].set(jnp.asarray(np.concatenate(zq))),
+        z_t=edges.z_t.at[:E].set(jnp.asarray(np.concatenate(zt))),
+        w_rot=edges.w_rot.at[:E].set(weights[0]),
+        w_trans=edges.w_trans.at[:E].set(weights[1]),
+        valid=edges.valid.at[:E].set(True),
+        count=jnp.int32(E),
+    )
 
 
 def cross_session_candidates(bank: KeyframeBank, session: np.ndarray,

@@ -193,12 +193,26 @@ def _correct_and_rebuild(bank: KeyframeBank, edges: EdgeSet, engine: EngineState
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("edges",))
 def _gps_edge(bank: KeyframeBank, edges: EdgeSet, gps: jnp.ndarray,
-              added: jnp.ndarray, cfg: SlamConfig) -> EdgeSet:
+              w_trans: jnp.ndarray, added: jnp.ndarray,
+              cfg: SlamConfig) -> EdgeSet:
     """Unary GPS factor on the just-added keyframe (addGPSFactor,
-    LIO-SAM mapOptmization.cpp:1879-1957); masked no-op when no keyframe."""
+    LIO-SAM mapOptmization.cpp:1879-1957); masked no-op when no keyframe.
+    `w_trans` is the per-fix information weight — the reference builds each
+    factor's noise from the fix covariance floored at 1 m^2 variance
+    (:1932-1941), so w_trans = gps_w_trans / max(var, 1)."""
     idx = jnp.maximum(bank.count - 1, 0)
     return add_edge(edges, idx, idx, se3.Pose(so3.quat_identity(), gps),
-                    0.0, cfg.gps_w_trans, kind=1, do_add=added)
+                    0.0, w_trans, kind=1, do_add=added)
+
+
+def _gps_fix(gps, cfg: SlamConfig):
+    """Normalize a GPS argument to (position (3,), weight ()): accepts a bare
+    position (fixed cfg.gps_w_trans weight) or a (position, weight) pair from
+    a covariance-carrying fix."""
+    if isinstance(gps, tuple):
+        pos, w = gps
+        return jnp.asarray(pos), jnp.asarray(w, jnp.float32)
+    return jnp.asarray(gps), jnp.float32(cfg.gps_w_trans)
 
 
 class SlamDriver:
@@ -224,8 +238,9 @@ class SlamDriver:
         cfg = self.cfg
         self.state, res, added, cand, found = _slam_step(self.state, scan, cfg)
         if gps is not None:
-            edges = _gps_edge(self.state.bank, self.state.edges,
-                              jnp.asarray(gps), added, cfg)
+            pos, w = _gps_fix(gps, cfg)
+            edges = _gps_edge(self.state.bank, self.state.edges, pos, w,
+                              added, cfg)
             self.state = self.state._replace(edges=edges)
 
         self.host_frame += 1

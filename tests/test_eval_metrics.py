@@ -124,3 +124,51 @@ class TestKittiDrift:
         out = kitti_drift(gt, gt, est_q=qe, gt_q=qi, lengths=(100.0,), step=20)
         # yaw grows rate rad/m -> r_err = deg(rate)/m
         assert abs(out["r_deg_per_m"] - np.degrees(rate)) < 1e-6
+
+
+class TestMatToQuat:
+    def test_round_trip(self):
+        from agi_lidar_slam_tpu.eval.metrics import _quat_to_mat, mat_to_quat
+
+        rng = np.random.RandomState(3)
+        # random rotations via QR of random matrices (det fixed to +1)
+        Rs = []
+        for _ in range(32):
+            Q, _ = np.linalg.qr(rng.randn(3, 3))
+            if np.linalg.det(Q) < 0:
+                Q[:, 2] *= -1
+            Rs.append(Q)
+        R = np.stack(Rs)
+        R2 = _quat_to_mat(mat_to_quat(R))
+        np.testing.assert_allclose(R2, R, atol=1e-9)
+
+    def test_near_pi_rotations(self):
+        from agi_lidar_slam_tpu.eval.metrics import _quat_to_mat, mat_to_quat
+
+        # trace near -1 exercises the non-w pivots
+        R = np.stack([
+            np.diag([1.0, -1.0, -1.0]),
+            np.diag([-1.0, 1.0, -1.0]),
+            np.diag([-1.0, -1.0, 1.0]),
+        ])
+        np.testing.assert_allclose(_quat_to_mat(mat_to_quat(R)), R, atol=1e-9)
+
+
+class TestKittiDriftRotational:
+    def test_yaw_drift_reports_deg_per_m(self):
+        from agi_lidar_slam_tpu.eval.metrics import kitti_drift
+
+        # straight 1 m/frame ground truth; estimate yaws 0.001 rad/frame
+        n = 1500
+        gt = np.stack([np.arange(n, dtype=float), np.zeros(n), np.zeros(n)], 1)
+        gt_q = _yaw_quats(np.zeros(n))
+        yaw = 0.001 * np.arange(n)
+        # integrate the yawing trajectory
+        est = np.zeros((n, 3))
+        est[1:] = np.cumsum(np.stack([np.cos(yaw[:-1]), np.sin(yaw[:-1]),
+                                      np.zeros(n - 1)], 1), axis=0)
+        d = kitti_drift(est, gt, est_q=_yaw_quats(yaw), gt_q=gt_q)
+        assert d["n_segments"] > 0
+        # 0.001 rad/m = 0.0573 deg/m
+        assert abs(d["r_deg_per_m"] - np.degrees(0.001)) < 0.01
+        assert np.isfinite(d["t_rel_pct"])

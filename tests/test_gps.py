@@ -131,3 +131,55 @@ class TestGpsFactors:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestGpsCovarianceWeighting:
+    def test_high_variance_fix_pulls_less(self):
+        """Per-fix covariance -> edge weight (mapOptmization.cpp:1932-1941:
+        variance floored at 1 m^2 becomes the factor noise). A 25 m^2-variance
+        fix must displace the graph less than a 1 m^2 one."""
+        import jax.numpy as jnp
+
+        from agi_lidar_slam_tpu.geometry import se3, so3
+        from agi_lidar_slam_tpu.geometry.se3 import Pose
+        from agi_lidar_slam_tpu.graph.pose_graph import (add_edge, empty_edges,
+                                                         solve_pose_graph)
+
+        def solve_with_weight(w):
+            n = 4
+            edges = empty_edges(16)
+            edges = add_edge(edges, 0, 0,
+                             se3.Pose(so3.quat_identity(), jnp.zeros(3)),
+                             1e4, 1e4, kind=1)
+            for i in range(n - 1):
+                z = se3.Pose(so3.quat_identity(), jnp.asarray([1.0, 0.0, 0.0]))
+                edges = add_edge(edges, i, i + 1, z, 1e2, 1e2)
+            # GPS fix 1 m off the odometry chain on the last node
+            edges = add_edge(edges, n - 1, n - 1,
+                             se3.Pose(so3.quat_identity(),
+                                      jnp.asarray([3.0, 1.0, 0.0])),
+                             0.0, w, kind=1)
+            q0 = jnp.tile(so3.quat_identity()[None], (n, 1))
+            t0 = jnp.asarray([[i, 0.0, 0.0] for i in range(n)], jnp.float32)
+            sol = solve_pose_graph(Pose(q0, t0), jnp.int32(n), edges,
+                                   n_gn_iters=8)
+            return float(np.asarray(sol.t)[-1, 1])
+
+        pull_good = solve_with_weight(1.0)  # var 1 m^2
+        pull_bad = solve_with_weight(1.0 / 25.0)  # var 25 m^2
+        assert pull_good > 3.0 * pull_bad
+        assert pull_good > 0.05
+
+    def test_run_slam_gps_of_weight(self):
+        """The bag harness converts fix covariance to 1/max(var,1)."""
+        import sys
+        sys.path.insert(0, "tools")
+        # gps_of is a closure inside _run_bag; test the formula contract at the
+        # driver level instead: a (pos, w) tuple flows through _gps_fix
+        from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig, _gps_fix
+
+        cfg = SlamConfig()
+        pos, w = _gps_fix((np.asarray([1.0, 2.0, 3.0]), 0.04), cfg)
+        assert abs(float(w) - 0.04) < 1e-9
+        pos2, w2 = _gps_fix(np.asarray([1.0, 2.0, 3.0]), cfg)
+        assert abs(float(w2) - cfg.gps_w_trans) < 1e-9

@@ -89,3 +89,24 @@ class TestLegoPipeline:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestTwoStepDegenerateFlag:
+    def test_empty_map_reports_degenerate(self):
+        """Regression (round-2 verdict): GnStats.degenerate was hardcoded
+        False in the two-step solver even though _solve_subset clamps — the
+        LIO-SAM-style covariance inflation consumer would never inflate."""
+        from agi_lidar_slam_tpu.config import MapConfig, SolverConfig
+        from agi_lidar_slam_tpu.estimators.two_step import solve_scan2map_two_step
+        from agi_lidar_slam_tpu.map.hash_map import empty_map
+        from agi_lidar_slam_tpu.pointcloud.cloud import PointBatch
+
+        mcfg = MapConfig(log2_slots=10, sub_voxel=0.5, block_sub=2,
+                         neighborhood="full27")
+        cmap, smap = empty_map(mcfg), empty_map(mcfg)
+        pts = PointBatch(jnp.zeros((32, 3)), jnp.ones((32,), bool))
+        pose, stats = solve_scan2map_two_step(
+            se3.Pose.identity(), pts, pts, cmap, smap, mcfg, mcfg,
+            SolverConfig(n_outer=1, n_inner=1))
+        # empty map -> zero correspondences -> every eigenvalue clamped
+        assert bool(stats.degenerate)

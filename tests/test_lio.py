@@ -99,3 +99,63 @@ class TestLioCircle:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestIeskfEarlyExit:
+    def test_converged_exit_matches_single_iteration(self):
+        """The while_loop convergence exit (esekfom.hpp:292-334): with a huge
+        converge_eps the first step always 'converges', so the result must
+        equal a max_iters=1 run."""
+        from agi_lidar_slam_tpu.estimators.ieskf import IeskfConfig, update_iterated
+        from agi_lidar_slam_tpu.map.hash_map import empty_map, insert
+        from agi_lidar_slam_tpu.pointcloud.cloud import PointBatch
+
+        rng = np.random.RandomState(0)
+        mcfg = MapConfig(log2_slots=12, sub_voxel=0.4, block_sub=2,
+                         neighborhood="full27")
+        # a dense ground plane as the map
+        g = np.stack(np.meshgrid(np.linspace(-5, 5, 40),
+                                 np.linspace(-5, 5, 40)), -1).reshape(-1, 2)
+        mpts = np.concatenate([g, np.zeros((g.shape[0], 1))], 1)
+        smap = insert(empty_map(mcfg), jnp.asarray(mpts, jnp.float32),
+                      jnp.ones((mpts.shape[0],), bool), mcfg)
+        # scan points on the same plane, slightly offset state
+        spts = mpts[rng.choice(mpts.shape[0], 256, replace=False)]
+        spts = spts + rng.randn(*spts.shape) * 0.01
+        pts = PointBatch(jnp.asarray(spts, jnp.float32),
+                         jnp.ones((spts.shape[0],), bool))
+        x0 = NavState.identity()._replace(p=jnp.asarray([0.0, 0.0, 0.15]))
+        P0 = jnp.eye(24) * 1e-2
+
+        x_eps, _, n1, _ = update_iterated(
+            x0, P0, pts, smap, mcfg, IeskfConfig(max_iters=4, converge_eps=1e9))
+        x_one, _, n2, _ = update_iterated(
+            x0, P0, pts, smap, mcfg, IeskfConfig(max_iters=1))
+        np.testing.assert_allclose(np.asarray(x_eps.p), np.asarray(x_one.p),
+                                   atol=1e-6)
+        # and the default run actually corrects most of the 15 cm offset
+        x4, _, _, _ = update_iterated(x0, P0, pts, smap, mcfg, IeskfConfig())
+        assert abs(float(x4.p[2])) < 0.02
+
+    def test_sform_residual_gate_accepts_plane(self):
+        """resid_gate='sform' (the reference's s = 1-0.9|r|/sqrt(|p|) > 0.9,
+        esekfom.hpp:163) keeps valid matches on a clean plane."""
+        from agi_lidar_slam_tpu.estimators.ieskf import IeskfConfig, update_iterated
+        from agi_lidar_slam_tpu.map.hash_map import empty_map, insert
+        from agi_lidar_slam_tpu.pointcloud.cloud import PointBatch
+
+        mcfg = MapConfig(log2_slots=12, sub_voxel=0.4, block_sub=2,
+                         neighborhood="full27")
+        g = np.stack(np.meshgrid(np.linspace(1, 8, 40),
+                                 np.linspace(-4, 4, 40)), -1).reshape(-1, 2)
+        mpts = np.concatenate([g, np.zeros((g.shape[0], 1))], 1)
+        smap = insert(empty_map(mcfg), jnp.asarray(mpts, jnp.float32),
+                      jnp.ones((mpts.shape[0],), bool), mcfg)
+        pts = PointBatch(jnp.asarray(mpts[::4], jnp.float32),
+                         jnp.ones((mpts[::4].shape[0],), bool))
+        x0 = NavState.identity()._replace(p=jnp.asarray([0.0, 0.0, 0.1]))
+        x, _, n_ok, _ = update_iterated(
+            x0, jnp.eye(24) * 1e-2, pts, smap, mcfg,
+            IeskfConfig(resid_gate="sform", gate_sq=5.0))
+        assert int(n_ok) > 100
+        assert abs(float(x.p[2])) < 0.02  # corrected from the 0.1 m offset

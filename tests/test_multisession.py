@@ -119,3 +119,48 @@ def test_merged_map_sharded_parity(sessions):
                                   np.asarray(m_single.occ))
     np.testing.assert_allclose(np.asarray(m_shard.points),
                                np.asarray(m_single.points), atol=0)
+
+
+class TestBatchedOdometryEdges:
+    def test_matches_per_edge_insert(self):
+        """The vectorized odometry_edges must reproduce the per-edge add_edge
+        loop exactly (round-2 verdict: O(K) device launches at city scale)."""
+        from agi_lidar_slam_tpu.graph.keyframes import add_keyframe, empty_bank
+        from agi_lidar_slam_tpu.graph.pose_graph import (add_edge,
+                                                         between_measurement,
+                                                         empty_edges)
+        from agi_lidar_slam_tpu.pointcloud.cloud import PointBatch
+        from agi_lidar_slam_tpu.runtime.multisession import odometry_edges
+
+        rng = np.random.RandomState(0)
+        banks = []
+        for s in range(2):
+            bank = empty_bank(16, 4, 4)
+            for i in range(5 + s):
+                pose = se3.Pose(
+                    so3.quat_normalize(jnp.asarray(rng.randn(4), jnp.float32)),
+                    jnp.asarray(rng.randn(3), jnp.float32))
+                pts = PointBatch(jnp.zeros((4, 3)), jnp.zeros((4,), bool))
+                bank, _ = add_keyframe(bank, pose, pts, pts, jnp.int32(i),
+                                       jnp.bool_(True))
+            banks.append(bank)
+
+        got = odometry_edges(banks, capacity=64)
+
+        want = empty_edges(64)
+        ofs = 0
+        for b in banks:
+            n = int(b.count)
+            for i in range(1, n):
+                z = between_measurement(se3.Pose(b.q[i - 1], b.t[i - 1]),
+                                        se3.Pose(b.q[i], b.t[i]))
+                want = add_edge(want, jnp.int32(ofs + i - 1),
+                                jnp.int32(ofs + i), z, 1e4, 1e4, kind=0,
+                                do_add=jnp.bool_(True))
+            ofs += n
+
+        assert int(got.count) == int(want.count)
+        for f in ("i", "j", "z_q", "z_t", "w_rot", "w_trans", "kind", "valid"):
+            np.testing.assert_allclose(np.asarray(getattr(got, f)),
+                                       np.asarray(getattr(want, f)),
+                                       atol=1e-6, err_msg=f)

@@ -99,6 +99,7 @@ def main() -> int:
            "lego": preset_lego_vlp16}[args.preset]()
 
     gt_positions = None
+    gt_quats = None  # (N,4) xyzw ground-truth orientations when available
     if args.kitti:
         from agi_lidar_slam_tpu.io.kitti import scan_paths
         from agi_lidar_slam_tpu.io.native_loader import NativeKittiLoader
@@ -115,6 +116,9 @@ def main() -> int:
 
             T = load_poses(pose_file, os.path.join(args.kitti, "calib.txt"))
             gt_positions = T[: len(paths), :3, 3]
+            from agi_lidar_slam_tpu.eval.metrics import mat_to_quat
+
+            gt_quats = mat_to_quat(T[: len(paths), :3, :3])
     elif args.sim:
         from agi_lidar_slam_tpu.sim.world import default_world, simulate_scan
 
@@ -132,6 +136,7 @@ def main() -> int:
             poses.append(p)
         scans = scan_list
         gt_positions = np.stack([np.asarray(p.t) for p in poses])
+        gt_quats = np.stack([np.asarray(p.q)[[1, 2, 3, 0]] for p in poses])
         if args.preset == "aloam":
             cfg = preset_sim16()
     else:
@@ -139,7 +144,7 @@ def main() -> int:
 
     metrics = MetricsWriter(args.metrics)
     timer = StageTimer()
-    est = []
+    est, est_q = [], []
 
     if args.slam:
         from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig, SlamDriver
@@ -154,6 +159,7 @@ def main() -> int:
             with timer.stage("scan"):
                 res = driver.process(scan)
             est.append(np.asarray(res.pose.t))
+            est_q.append(np.asarray(res.pose.q)[[1, 2, 3, 0]])
             metrics.log_scan(n, res, (time.perf_counter() - t0) * 1e3)
             n += 1
         driver.finalize()
@@ -168,6 +174,7 @@ def main() -> int:
             with timer.stage("scan"):
                 state, res = process_scan(state, scan, cfg)
             est.append(np.asarray(res.pose.t))
+            est_q.append(np.asarray(res.pose.q)[[1, 2, 3, 0]])
             metrics.log_scan(n, res, (time.perf_counter() - t0) * 1e3)
             n += 1
 
@@ -181,9 +188,12 @@ def main() -> int:
         print(f"ATE RMSE: {err:.3f} m (aligned), {err_na:.3f} m (raw)")
         from agi_lidar_slam_tpu.eval.metrics import kitti_drift
 
-        d = kitti_drift(est, gt_positions[: len(est)])
+        gq = gt_quats[: len(est)] if gt_quats is not None else None
+        eq = np.stack(est_q) if gq is not None else None
+        d = kitti_drift(est, gt_positions[: len(est)], est_q=eq, gt_q=gq)
         if d["n_segments"]:
-            print(f"KITTI drift: {d['t_rel_pct']:.3f}% translational "
+            print(f"KITTI drift: {d['t_rel_pct']:.3f}% translational, "
+                  f"{d['r_deg_per_m']:.5f} deg/m rotational "
                   f"({d['n_segments']} segments; per-length "
                   f"{ {k: round(v, 3) for k, v in d['per_length'].items()} })")
     if args.traj_out:
@@ -266,14 +276,21 @@ def _run_bag(args) -> int:
 
     def gps_of(b):
         """Covariance-gated GPS fix for the factor graph (addGPSFactor's
-        gpsCovThreshold gate, mapOptmization.cpp:1894-1896)."""
+        gpsCovThreshold gate, mapOptmization.cpp:1894-1896). Returns
+        (position, information weight): the reference builds each factor's
+        noise from the fix covariance floored at 1 m^2 (:1932-1941), so the
+        weight is 1/max(var, 1)."""
         nonlocal n_gps_used
         if b.gps is None:
             return None
-        if b.gps_cov is not None and float(np.max(b.gps_cov[:2])) > args.gps_cov_thresh:
-            return None
+        var = 0.0
+        if b.gps_cov is not None:
+            var = float(np.max(b.gps_cov[:2]))
+            if var > args.gps_cov_thresh:
+                return None
         n_gps_used += 1
-        return jnp.asarray(np.asarray(b.gps, np.float32))
+        return (jnp.asarray(np.asarray(b.gps, np.float32)),
+                1.0 / max(var, 1.0))
 
     state = None
     driver = None
@@ -315,7 +332,7 @@ def _run_bag(args) -> int:
                     state, jnp.asarray(b.xyz), jnp.asarray(b.rel_time),
                     jnp.asarray(b.mask), win, cfg)
             est.append(np.asarray(res.x.p))
-            metrics.log_scan(n, res, 0.0)
+            metrics.log_scan(n, res, timer.last_ms)
             n += 1
             if args.max_scans and n >= args.max_scans:
                 break
@@ -331,7 +348,7 @@ def _run_bag(args) -> int:
             with timer.stage("scan"):
                 res = driver.process(grid, imu_win(b))
             est.append(np.asarray(res.pose.t))
-            metrics.log_scan(n, res, 0.0)
+            metrics.log_scan(n, res, timer.last_ms)
             n += 1
             if args.max_scans and n >= args.max_scans:
                 break
@@ -351,7 +368,7 @@ def _run_bag(args) -> int:
             with timer.stage("scan"):
                 res = driver.process(grid, imu_win(b), gps=gps_of(b))
             est.append(np.asarray(res.pose.t))
-            metrics.log_scan(n, res, 0.0)
+            metrics.log_scan(n, res, timer.last_ms)
             n += 1
             if args.max_scans and n >= args.max_scans:
                 break
@@ -440,7 +457,7 @@ def _run_bag(args) -> int:
                     state, res = process_scan(state, grid, pcfg)
             est.append(np.asarray(res.pose.t))
             _feature_health_check(res, n)
-            metrics.log_scan(n, res, 0.0)
+            metrics.log_scan(n, res, timer.last_ms)
             n += 1
             if args.max_scans and n >= args.max_scans:
                 break
