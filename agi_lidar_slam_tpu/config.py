@@ -23,6 +23,12 @@ class FeatureConfig:
     curvature_window: int = 5  # +-5 neighbors in the curvature sum
     n_sectors: int = 6  # sectors per ring (A-LOAM: 6)
     corners_per_sector: int = 20  # "less sharp" pick budget per sector
+    # two-tier A-LOAM quotas (scanRegistration.cpp:289-432): the SHARP tier
+    # (2/sector, the sharpest of the less-sharp picks) and the FLAT tier
+    # (4/sector, lowest curvature) are the small query sets the scan-to-scan
+    # odometry stage matches against the previous scan's DENSE tiers
+    sharp_per_sector: int = 2
+    flat_per_sector: int = 4
     corner_thresh: float = 0.1  # curvature > thresh -> edge candidate
     surf_thresh: float = 0.1  # curvature < thresh -> planar candidate
     nms_window: int = 5  # suppression half-window around picks
@@ -116,6 +122,11 @@ class PipelineConfig:
     # registers the new scan against the PREVIOUS scan's features to refine the
     # constant-velocity prediction before scan-to-map
     odometry_stage: bool = False
+    # two-tier queries in the odometry stage (A-LOAM parity): match the SHARP/
+    # FLAT tiers (2+4 per sector) against the previous scan's dense tiers,
+    # instead of dense-vs-dense (laserOdometry.cpp:341-573). Fewer query
+    # points, same targets — the reference's asymmetric matching structure.
+    odom_two_tier: bool = True
     odom_map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=13,
                                     neighborhood="full27")
     odom_solver: SolverConfig = SolverConfig(

@@ -35,12 +35,23 @@ class ScanFeatures(NamedTuple):
 
 class TimedFeatures(NamedTuple):
     """Features plus their in-sweep time fractions (for post-extraction
-    deskew, the reference's TransformToStart-per-feature-point pattern)."""
+    deskew, the reference's TransformToStart-per-feature-point pattern).
+
+    Two-tier structure (A-LOAM scanRegistration.cpp:289-432): `corners`/`surfs`
+    are the DENSE tiers (less-sharp / less-flat) that feed map inserts and
+    serve as association targets; `sharp`/`flat` are the small per-sector
+    query tiers (2 sharpest / 4 flattest) the scan-to-scan odometry stage
+    matches against the previous scan's dense tiers (laserOdometry.cpp:341-573
+    matches cornerPointsSharp -> laserCloudCornerLast)."""
 
     corners: PointBatch
     corner_tau: jnp.ndarray  # (Nc,) in [0,1)
     surfs: PointBatch
     surf_tau: jnp.ndarray  # (Ns,) voxel-mean time (PCL centroids average time)
+    sharp: PointBatch  # (R * n_sectors * sharp_per_sector,)
+    sharp_tau: jnp.ndarray
+    flat: PointBatch  # (R * n_sectors * flat_per_sector,)
+    flat_tau: jnp.ndarray
 
 
 def curvature(scan: ScanGrid, cfg: FeatureConfig):
@@ -146,11 +157,34 @@ def extract_features_timed(scan: ScanGrid, cfg: FeatureConfig) -> TimedFeatures:
         jnp.repeat(jnp.arange(R, dtype=jnp.int32), S * k), col.reshape(-1)
     ].set(corner_mask)
 
+    # --- sharp tier: the sharpest sharp_per_sector of each sector's picks ----
+    # top_k returns scores in descending order, so the first columns ARE the
+    # per-sector sharpest (scanRegistration.cpp:295-317 picks 2 before the 20)
+    ks = min(cfg.sharp_per_sector, k)
+    col_s = col[:, :, :ks].reshape(R, S * ks)
+    sharp_xyz = jnp.take_along_axis(scan.xyz, col_s[..., None], axis=1).reshape(-1, 3)
+    sharp_tau = jnp.take_along_axis(scan.time, col_s, axis=1).reshape(-1)
+    sharp_mask = (top[:, :, :ks] > 0.0).reshape(-1)
+
     # --- surfs: low-curvature, not corner-picked, voxel downsampled ----------
     surf_cand = valid & surf_allowed & (c < cfg.surf_thresh) & ~picked
     surfs, surf_tau = voxel_downsample_aux(
         scan.xyz.reshape(-1, 3), surf_cand.reshape(-1), cfg.surf_voxel,
         cfg.max_surfs, aux=scan.time.reshape(-1),
     )
+
+    # --- flat tier: flat_per_sector LOWEST-curvature candidates per sector ---
+    # (scanRegistration.cpp:389-419 picks 4 flat before the less-flat rest)
+    kf = cfg.flat_per_sector
+    score_f = jnp.where(surf_cand, -c, -jnp.inf)[:, : S * Ws].reshape(R, S, Ws)
+    top_f, idx_f = jax.lax.top_k(score_f, kf)  # (R,S,kf): least curvature first
+    col_f = (idx_f + (jnp.arange(S, dtype=jnp.int32) * Ws)[None, :, None]
+             ).reshape(R, S * kf)
+    flat_xyz = jnp.take_along_axis(scan.xyz, col_f[..., None], axis=1).reshape(-1, 3)
+    flat_tau = jnp.take_along_axis(scan.time, col_f, axis=1).reshape(-1)
+    flat_mask = jnp.isfinite(top_f).reshape(-1)
+
     return TimedFeatures(PointBatch(corner_xyz, corner_mask), corner_tau,
-                         surfs, surf_tau)
+                         surfs, surf_tau,
+                         PointBatch(sharp_xyz, sharp_mask), sharp_tau,
+                         PointBatch(flat_xyz, flat_mask), flat_tau)

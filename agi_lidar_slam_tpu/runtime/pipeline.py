@@ -104,15 +104,24 @@ def process_scan(
     if cfg.odometry_stage:
         # scan-to-scan refinement of the motion prediction: register this
         # scan's features against the previous scan's features (built into a
-        # throwaway hashed map in the previous sensor frame)
+        # throwaway hashed map in the previous sensor frame). With
+        # odom_two_tier the queries are the small SHARP/FLAT tiers and the
+        # targets the previous dense tiers — the reference's asymmetric
+        # sharp->less-sharp matching (laserOdometry.cpp:341-573)
+        if cfg.odom_two_tier:
+            q_c, q_s = feats.sharp, feats.flat
+            qtau_c, qtau_s = feats.sharp_tau, feats.flat_tau
+        else:
+            q_c, q_s = corners, surfs
+            qtau_c, qtau_s = tau_c, tau_s
         ocmap = insert(empty_map(cfg.odom_map), state.prev_corners.xyz,
                        state.prev_corners.mask, cfg.odom_map)
         osmap = insert(empty_map(cfg.odom_map), state.prev_surfs.xyz,
                        state.prev_surfs.mask, cfg.odom_map)
         rel_opt, _ = solve_scan2map(
-            rel, corners, surfs, ocmap, osmap, cfg.odom_map, cfg.odom_map,
+            rel, q_c, q_s, ocmap, osmap, cfg.odom_map, cfg.odom_map,
             cfg.odom_solver,
-            deskew=(tau_c, tau_s, se3.Pose.identity()) if cfg.deskew else None,
+            deskew=(qtau_c, qtau_s, se3.Pose.identity()) if cfg.deskew else None,
         )
         pred = se3.compose(state.pose, rel_opt)
     else:
