@@ -77,19 +77,25 @@ def associate(
     cfg: SolverConfig,
     corner_tab: jnp.ndarray | None = None,
     surf_tab: jnp.ndarray | None = None,
+    knn_fn=None,
 ) -> Correspondences:
-    """One association pass: KNN + line/plane fits at the current pose."""
+    """One association pass: KNN + line/plane fits at the current pose.
+
+    `knn_fn` overrides the map lookup (same signature as nn.knn.knn) — the
+    hook that lets the mp-sharded map (parallel/map_shard.sharded_knn) serve
+    association when the map exceeds one chip's HBM."""
+    lookup = knn_fn if knn_fn is not None else knn
     R = so3.quat_to_matrix(pose.q)
     k = cfg.k_neighbors
 
     cw = corners.xyz @ R.T + pose.t
-    nc = knn(corner_map, cw, corners.mask, k, cmap_cfg, tab=corner_tab)
+    nc = lookup(corner_map, cw, corners.mask, k, cmap_cfg, tab=corner_tab)
     gate_c = nc.sq_dists[:, k - 1] < cfg.corner_gate_sq
     line = fit_lines(nc.points, nc.valid, cfg.line_eig_ratio)
     ok_c = corners.mask & gate_c & line.ok
 
     sw = surfs.xyz @ R.T + pose.t
-    ns = knn(surf_map, sw, surfs.mask, k, smap_cfg, tab=surf_tab)
+    ns = lookup(surf_map, sw, surfs.mask, k, smap_cfg, tab=surf_tab)
     gate_s = ns.sq_dists[:, k - 1] < cfg.surf_gate_sq
     plane = fit_planes(ns.points, ns.valid, cfg.plane_tol)
     ok_s = surfs.mask & gate_s & plane.ok
@@ -177,8 +183,16 @@ def solve_scan2map(
     smap_cfg: MapConfig,
     cfg: SolverConfig,
     deskew: tuple | None = None,
+    axis_name: str | None = None,
+    knn_fn=None,
 ):
     """Iterated GN from initial guess pose0. Returns (pose, GnStats).
+
+    With `axis_name` (inside shard_map) the feature point axis is SHARDED
+    over that mesh axis: each device associates and linearizes its local
+    shard and the 6x6 normal equations complete with one psum — the exact
+    OpenMP-to-collective mapping of the reference's parallel-for
+    (mapOptmization.cpp:1307,1442). The solve and pose update replicate.
 
     `deskew = (corner_tau, surf_tau, prev_pose)` enables in-loop motion
     compensation: at each OUTER pass the raw (distorted) feature points are
@@ -192,8 +206,11 @@ def solve_scan2map(
     sawtooth on straight fast motion. In-loop deskew corrects the warp within
     the same scan's optimization, killing the feedback path.
     """
-    corner_tab = _maybe_tab(corner_map, cmap_cfg)
-    surf_tab = _maybe_tab(surf_map, smap_cfg)
+    corner_tab = _maybe_tab(corner_map, cmap_cfg) if knn_fn is None else None
+    surf_tab = _maybe_tab(surf_map, smap_cfg) if knn_fn is None else None
+
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     def outer(_, carry):
         pose, _ = carry
@@ -207,11 +224,15 @@ def solve_scan2map(
         else:
             c_i, s_i = corners, surfs
         corr = associate(pose, c_i, s_i, corner_map, surf_map,
-                         cmap_cfg, smap_cfg, cfg, corner_tab, surf_tab)
+                         cmap_cfg, smap_cfg, cfg, corner_tab, surf_tab,
+                         knn_fn=knn_fn)
 
         def inner(_, carry2):
             pose, _ = carry2
             H, g, (n_c, n_s, sq, n_rows) = normal_equations(pose, c_i, s_i, corr, cfg)
+            H, g = allsum(H), allsum(g)
+            n_c, n_s = allsum(n_c), allsum(n_s)
+            sq, n_rows = allsum(sq), allsum(n_rows)
             delta, degen = solve_delta(H, g, cfg)
             pose = se3.boxplus(pose, delta)
             rms = jnp.sqrt(sq / jnp.maximum(n_rows, 1.0))

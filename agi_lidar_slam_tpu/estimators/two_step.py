@@ -53,13 +53,20 @@ def solve_scan2map_two_step(
     smap_cfg: MapConfig,
     cfg: SolverConfig,
     deskew: tuple | None = None,
+    axis_name: str | None = None,
+    knn_fn=None,
 ):
     """Iterated two-step GN (LeGO configuration). Returns (pose, GnStats).
 
     `deskew = (corner_tau, surf_tau, prev_pose)` re-deskews the raw feature
     points at every outer pass with the current motion estimate (see
     solve_scan2map — LeGO's adjustDistortion runs upfront with IMU data, but
-    the constant-velocity fallback benefits from the in-loop form)."""
+    the constant-velocity fallback benefits from the in-loop form).
+    `axis_name`/`knn_fn` shard the point axis / the map exactly as in
+    solve_scan2map."""
+    def allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
     def outer(_, carry):
         pose, _ = carry
         if deskew is not None:
@@ -72,7 +79,7 @@ def solve_scan2map_two_step(
         else:
             c_i, s_i = corners, surfs
         corr = associate(pose, c_i, s_i, corner_map, surf_map,
-                         cmap_cfg, smap_cfg, cfg)
+                         cmap_cfg, smap_cfg, cfg, knn_fn=knn_fn)
         # row selection happens through the correspondence validity masks
         # (normal_equations weights rows by corr.ok_*)
         corr_surf = corr._replace(ok_c=jnp.zeros_like(corr.ok_c))
@@ -82,10 +89,12 @@ def solve_scan2map_two_step(
             pose, _ = carry2
             # step 1: surf rows only -> (roll, pitch, z)
             Hs, gs, (_, n_s, sq_s, nr_s) = normal_equations(pose, c_i, s_i, corr_surf, cfg)
+            Hs, gs, n_s, sq_s, nr_s = (allsum(x) for x in (Hs, gs, n_s, sq_s, nr_s))
             d_s, degen_s = _solve_subset(Hs, gs, _SURF_IDX, cfg.degen_eig_thresh)
             pose = se3.boxplus(pose, d_s)
             # step 2: corner rows only -> (yaw, x, y)
             Hc, gc, (n_c, _, sq_c, nr_c) = normal_equations(pose, c_i, s_i, corr_corner, cfg)
+            Hc, gc, n_c, sq_c, nr_c = (allsum(x) for x in (Hc, gc, n_c, sq_c, nr_c))
             d_c, degen_c = _solve_subset(Hc, gc, _CORNER_IDX, cfg.degen_eig_thresh)
             pose = se3.boxplus(pose, d_c)
             rms = jnp.sqrt((sq_s + sq_c) / jnp.maximum(nr_s + nr_c, 1.0))

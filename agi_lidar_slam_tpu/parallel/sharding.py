@@ -1,21 +1,21 @@
-"""Multi-chip SPMD: device mesh, shardings, and the sharded scan step.
+"""Multi-chip SPMD: device mesh, shardings, and the sharded scan steps.
 
 The reference's concurrency is OpenMP parallel-for over points + pthread
 pipeline stages (SURVEY.md section 2.7). The TPU re-expression:
 
-* the POINT axis is sharded across chips ("dp"): feature association and the
-  GN normal equations are sums over points, so J^T J / J^T r reduce with one
+* the POINT axis shards across chips ("dp"): feature association and the GN
+  normal equations are sums over points, so J^T J / J^T r complete with one
   psum — mathematically exact data parallelism (the analog of LIO-SAM's
   `#pragma omp parallel for` at mapOptmization.cpp:1307,1442);
-* the MAP lives in HBM as fixed-shape arrays; in this round it is replicated
-  and updated identically on every chip from the (small, all-gathered)
-  downsampled feature set, keeping replicas bit-identical; slot-sharding the
-  map over a second mesh axis is the planned scale-out for city-scale maps.
+* the MAP can slot-shard across chips ("mp", parallel/map_shard.py) when it
+  exceeds one chip's HBM: association then runs through the exact merged
+  sharded KNN and inserts scatter only owned rows.
 
-`sharded_gn_step` uses shard_map + explicit psum (compiler-proof collective
-placement); `dryrun` in __graft_entry__.py jits the full pipeline step over
-the mesh to validate that everything (features, KNN gathers, map scatter)
-partitions.
+Both multi-chip steps run the IDENTICAL per-scan math as the single-chip
+engine: they call runtime.pipeline._process_scan_body with the solver/insert
+ops swapped (no forked step) — in-solver deskew, the two-tier odometry stage,
+and the two_step mode all included. Parity with process_scan is pinned by
+tests/test_sharding_parity.py.
 """
 
 from __future__ import annotations
@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import PipelineConfig
-from ..estimators.gn_scan2map import GnStats, associate, normal_equations, solve_delta
+from ..estimators.gn_scan2map import GnStats, solve_scan2map
+from ..estimators.two_step import solve_scan2map_two_step
 from ..geometry import se3
 from ..map.hash_map import HashVoxelMap
 from ..pointcloud.cloud import PointBatch
@@ -51,6 +52,42 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
 
+def _sharded_solver(mesh: Mesh, axis: str, fn):
+    """Wrap a scan-to-map solver (solve_scan2map / solve_scan2map_two_step) to
+    run under shard_map with the feature point axis sharded over `axis` and
+    the normal equations psum'd (the solver's own axis_name hook). The maps
+    and pose are replicated; outputs replicate via the psums."""
+
+    def solver(pose0, corners, surfs, cmap, smap, cmap_cfg, smap_cfg, cfg,
+               deskew=None):
+        Pp = P(axis)
+        if deskew is None:
+            @functools.partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P(), Pp, Pp, P(), P()), out_specs=(P(), P()),
+                check_vma=False,  # replication comes from the psums
+            )
+            def run(p0, c, s, cm, sm):
+                return fn(p0, c, s, cm, sm, cmap_cfg, smap_cfg, cfg,
+                          axis_name=axis)
+
+            return run(pose0, corners, surfs, cmap, smap)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), Pp, Pp, P(), P(), (Pp, Pp, P())),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def run_d(p0, c, s, cm, sm, dsk):
+            return fn(p0, c, s, cm, sm, cmap_cfg, smap_cfg, cfg,
+                      deskew=dsk, axis_name=axis)
+
+        return run_d(pose0, corners, surfs, cmap, smap, deskew)
+
+    return solver
+
+
 def sharded_gn_solve(
     mesh: Mesh,
     pose0: se3.Pose,
@@ -65,89 +102,72 @@ def sharded_gn_solve(
     Each chip associates its local point shard against the (replicated) map and
     builds partial normal equations; one psum(H), psum(g) per iteration rides
     the ICI; the 6x6 solve and pose update are replicated — every chip holds
-    the identical pose afterwards.
+    the identical pose afterwards. This IS the production solver
+    (estimators.gn_scan2map.solve_scan2map) under shard_map, not a fork.
     """
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), (P("dp"), P("dp")), (P("dp"), P("dp")), P(), P()),
-        out_specs=P(),
-    )
-    def run(pose0, corners_parts, surfs_parts, cmap, smap):
-        corners = PointBatch(*corners_parts)
-        surfs = PointBatch(*surfs_parts)
-        scfg = cfg.solver
-
-        def outer(_, carry):
-            pose, _ = carry
-            corr = associate(pose, corners, surfs, cmap, smap,
-                             cfg.corner_map, cfg.surf_map, scfg)
-
-            def inner(_, carry2):
-                pose, _ = carry2
-                H, g, (n_c, n_s, sq, n_rows) = normal_equations(
-                    pose, corners, surfs, corr, scfg
-                )
-                H = jax.lax.psum(H, "dp")
-                g = jax.lax.psum(g, "dp")
-                n_c = jax.lax.psum(n_c, "dp")
-                n_s = jax.lax.psum(n_s, "dp")
-                sq = jax.lax.psum(sq, "dp")
-                n_rows = jax.lax.psum(n_rows, "dp")
-                delta, degen = solve_delta(H, g, scfg)
-                pose = se3.boxplus(pose, delta)
-                rms = jnp.sqrt(sq / jnp.maximum(n_rows, 1.0))
-                return pose, GnStats(n_c, n_s, rms, degen)
-
-            return jax.lax.fori_loop(0, scfg.n_inner, inner, carry)
-
-        init = (pose0, GnStats(jnp.int32(0), jnp.int32(0), jnp.float32(0.0), jnp.bool_(False)))
-        return jax.lax.fori_loop(0, scfg.n_outer, outer, init)
-
-    return run(pose0, tuple(corners), tuple(surfs), corner_map, surf_map)
+    return _sharded_solver(mesh, "dp", solve_scan2map)(
+        pose0, corners, surfs, corner_map, surf_map,
+        cfg.corner_map, cfg.surf_map, cfg.solver)
 
 
 def sharded_scan_step(mesh: Mesh, state, scan, cfg: PipelineConfig):
     """Full per-scan pipeline step with the point axis sharded over the mesh.
 
-    Same math as runtime.pipeline.process_scan, but association/GN run under
-    shard_map with explicit psum, and the feature batches carry sharding
-    constraints so pjit partitions the surrounding program consistently.
-    Map updates are computed identically on every chip (replicated inserts of
-    the small feature set), so map replicas never diverge.
+    EXACTLY runtime.pipeline.process_scan's math — same body, with the two
+    solver calls (odometry stage + scan-to-map, incl. in-solver deskew and
+    two_step) running under shard_map with psum'd normal equations. Feature
+    extraction/downsampling and map updates are computed identically on every
+    chip from replicated inputs, so map replicas never diverge.
     """
-    from ..features.curvature import extract_features
-    from ..map.hash_map import insert
-    from ..geometry import so3
-    from ..pointcloud.voxel import voxel_downsample
-    from ..runtime.pipeline import EngineState, ScanResult, deskew_constant_velocity
+    from ..runtime.pipeline import _process_scan_body
 
-    rel = se3.compose(se3.inverse(state.prev_pose), state.pose)
-    pred = se3.compose(state.pose, rel)
-    if cfg.deskew:
-        scan = deskew_constant_velocity(scan, rel)
-
-    feats = extract_features(scan, cfg.features)
-    corners = voxel_downsample(
-        feats.corners.xyz, feats.corners.mask, cfg.corner_ds_voxel, cfg.features.max_corners
-    )
-    surfs = voxel_downsample(
-        feats.surfs.xyz, feats.surfs.mask, cfg.surf_ds_voxel, cfg.features.max_surfs
-    )
     pshard = NamedSharding(mesh, P("dp"))
-    corners = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, pshard), corners)
-    surfs = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, pshard), surfs)
 
-    pose_opt, stats = sharded_gn_solve(
-        mesh, pred, corners, surfs, state.corner_map, state.surf_map, cfg
-    )
+    solve_fn = _sharded_solver(mesh, "dp", solve_scan2map)
+    solve_two = _sharded_solver(mesh, "dp", solve_scan2map_two_step)
 
-    R = so3.quat_to_matrix(pose_opt.q)
-    cmap = insert(state.corner_map, corners.xyz @ R.T + pose_opt.t, corners.mask,
-                  cfg.corner_map)
-    smap = insert(state.surf_map, surfs.xyz @ R.T + pose_opt.t, surfs.mask,
-                  cfg.surf_map)
-    new_state = EngineState(pose_opt, state.pose, cmap, smap, state.frame + 1,
-                            corners, surfs)
-    return new_state, ScanResult(pose_opt, stats, corners, surfs)
+    def solve_con(pose0, corners, surfs, *a, **k):
+        # sharding constraints on the query batches so pjit partitions the
+        # surrounding program (features/downsample) consistently
+        corners = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, pshard), corners)
+        surfs = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, pshard), surfs)
+        return solve_fn(pose0, corners, surfs, *a, **k)
+
+    def solve_two_con(pose0, corners, surfs, *a, **k):
+        corners = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, pshard), corners)
+        surfs = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, pshard), surfs)
+        return solve_two(pose0, corners, surfs, *a, **k)
+
+    return _process_scan_body(state, scan, cfg,
+                              solve_fn=solve_con, solve_two_fn=solve_two_con)
+
+
+def sharded_scan_step_mp(mesh: Mesh, state, scan, cfg: PipelineConfig):
+    """Full per-scan pipeline step against a SLOT-SHARDED map ("mp" axis):
+    the scale-out for maps larger than one chip's HBM (SURVEY.md section 5.7).
+
+    Association runs through the exact merged sharded KNN
+    (parallel/map_shard.sharded_knn: local k-smallest per shard + one
+    all_gather merge) and map updates through sharded_insert (replicated claim
+    resolution + owned-row scatters). The per-scan math is otherwise identical
+    to process_scan (same _process_scan_body). state.corner_map/surf_map must
+    be placed with map_shard.shard_map_arrays. Insert drop counters are not
+    tracked on this path (n_dropped reports 0).
+    """
+    from ..runtime.pipeline import _process_scan_body
+    from .map_shard import sharded_insert, sharded_knn
+
+    def knn_fn(m, q, qm, k, mcfg, tab=None):
+        return sharded_knn(mesh, m, q, qm, k, mcfg)
+
+    def insert_fn(m, xyz, mask, mcfg):
+        return sharded_insert(mesh, m, xyz, mask, mcfg), jnp.int32(0)
+
+    solve_fn = functools.partial(solve_scan2map, knn_fn=knn_fn)
+    solve_two = functools.partial(solve_scan2map_two_step, knn_fn=knn_fn)
+    return _process_scan_body(state, scan, cfg, solve_fn=solve_fn,
+                              solve_two_fn=solve_two, insert_fn=insert_fn)

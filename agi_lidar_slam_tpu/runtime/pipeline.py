@@ -77,11 +77,15 @@ def deskew_constant_velocity(scan: ScanGrid, rel: se3.Pose) -> ScanGrid:
     return ScanGrid(xyz.reshape(scan.xyz.shape), scan.mask, scan.time)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def process_scan(
-    state: EngineState, scan: ScanGrid, cfg: PipelineConfig
+def _process_scan_body(
+    state: EngineState, scan: ScanGrid, cfg: PipelineConfig,
+    solve_fn=solve_scan2map,
+    solve_two_fn=solve_scan2map_two_step,
+    insert_fn=insert_with_stats,
 ) -> Tuple[EngineState, ScanResult]:
-    """Process one sweep. Pure function: jit once, stream scans through it."""
+    """The per-scan pipeline, parameterized over its solver/insert ops so the
+    multi-chip variants (parallel/sharding.py) run the IDENTICAL math with the
+    point axis sharded (dp) or the map slot-sharded (mp) — no forked step."""
     rel = se3.compose(se3.inverse(state.prev_pose), state.pose)
 
     # Features are extracted on the RAW (distorted) sweep — the reference's
@@ -118,7 +122,7 @@ def process_scan(
                        state.prev_corners.mask, cfg.odom_map)
         osmap = insert(empty_map(cfg.odom_map), state.prev_surfs.xyz,
                        state.prev_surfs.mask, cfg.odom_map)
-        rel_opt, _ = solve_scan2map(
+        rel_opt, _ = solve_fn(
             rel, q_c, q_s, ocmap, osmap, cfg.odom_map, cfg.odom_map,
             cfg.odom_solver,
             deskew=(qtau_c, qtau_s, se3.Pose.identity()) if cfg.deskew else None,
@@ -131,7 +135,7 @@ def process_scan(
     # degeneracy threshold, so the solver is a no-op and the pose stays at the
     # prediction — no special first-frame branch needed.
     dsk = (tau_c, tau_s, state.pose) if cfg.deskew else None
-    solver_fn = solve_scan2map_two_step if cfg.two_step else solve_scan2map
+    solver_fn = solve_two_fn if cfg.two_step else solve_fn
     pose_opt, stats = solver_fn(
         pred, corners, surfs, state.corner_map, state.surf_map,
         cfg.corner_map, cfg.surf_map, cfg.solver, deskew=dsk,
@@ -147,10 +151,10 @@ def process_scan(
                            surfs.mask)
 
     R = so3.quat_to_matrix(pose_opt.q)
-    cmap, drop_c = insert_with_stats(state.corner_map, corners.xyz @ R.T + pose_opt.t,
-                                     corners.mask, cfg.corner_map)
-    smap, drop_s = insert_with_stats(state.surf_map, surfs.xyz @ R.T + pose_opt.t,
-                                     surfs.mask, cfg.surf_map)
+    cmap, drop_c = insert_fn(state.corner_map, corners.xyz @ R.T + pose_opt.t,
+                             corners.mask, cfg.corner_map)
+    smap, drop_s = insert_fn(state.surf_map, surfs.xyz @ R.T + pose_opt.t,
+                             surfs.mask, cfg.surf_map)
     if cfg.bound_radius > 0:
         cmap = bound_map(cmap, pose_opt.t, cfg.bound_radius, cfg.corner_map)
         smap = bound_map(smap, pose_opt.t, cfg.bound_radius, cfg.surf_map)
@@ -158,6 +162,14 @@ def process_scan(
     new_state = EngineState(pose_opt, state.pose, cmap, smap, state.frame + 1,
                             corners, surfs)
     return new_state, ScanResult(pose_opt, stats, corners, surfs, drop_c + drop_s)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def process_scan(
+    state: EngineState, scan: ScanGrid, cfg: PipelineConfig
+) -> Tuple[EngineState, ScanResult]:
+    """Process one sweep. Pure function: jit once, stream scans through it."""
+    return _process_scan_body(state, scan, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))

@@ -1,0 +1,106 @@
+"""Multi-chip scan-step parity: sharded(process_scan) == process_scan.
+
+Round-2 verdict item: the sharded scan step must run the PRODUCTION math (in-
+solver deskew, two-tier odometry stage, two_step mode) — not a fork — and the
+mp-sharded map must compose into a full engine step. Both are pinned here on
+the 8-virtual-device CPU mesh (the multi-chip "fake backend" of SURVEY §4).
+
+Tolerances: the dp step psums per-shard partial normal equations, which
+reassociates float sums — poses agree to ~1e-4 m, not bitwise.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from agi_lidar_slam_tpu.config import preset_sim16
+from agi_lidar_slam_tpu.geometry import se3, so3
+from agi_lidar_slam_tpu.parallel.map_shard import shard_map_arrays
+from agi_lidar_slam_tpu.parallel.sharding import (replicate, sharded_scan_step,
+                                                  sharded_scan_step_mp)
+from agi_lidar_slam_tpu.runtime.pipeline import init_state, process_scan
+from agi_lidar_slam_tpu.sim.world import default_world, simulate_scan
+
+
+def make_scans(n=3, rings=16, width=432):
+    world = default_world(seed=11, n_pillars=20, extent=14.0)
+    q, t = so3.quat_identity(), jnp.zeros(3)
+    scans = []
+    for i in range(n):
+        p = se3.Pose(q, t)
+        q = so3.quat_normalize(so3.quat_mul(q, so3.quat_exp(jnp.asarray([0, 0, 0.02]))))
+        t = t + so3.quat_rotate(q, jnp.asarray([0.3, 0.0, 0.0]))
+        scans.append(simulate_scan(world, p, se3.Pose(q, t), rings=rings,
+                                   width=width, noise_std=0.004, seed=40 + i))
+    return scans
+
+
+def run_pair(cfg, step_fn, mesh, place):
+    """Run the reference single-device path and the sharded path over the same
+    scans; return (poses_ref (n,3), poses_sh (n,3), final states)."""
+    scans = make_scans()
+    st_ref = init_state(cfg)
+    st_sh = place(init_state(cfg))
+    step = jax.jit(functools.partial(step_fn, mesh, cfg=cfg))
+    ref, sh = [], []
+    for s in scans:
+        st_ref, r_ref = process_scan(st_ref, s, cfg)
+        st_sh, r_sh = step(st_sh, replicate(s, mesh))
+        ref.append(np.asarray(r_ref.pose.t))
+        sh.append(np.asarray(r_sh.pose.t))
+    return np.stack(ref), np.stack(sh), st_ref, st_sh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return Mesh(jax.devices()[:8], axis_names=("dp",))
+
+
+@pytest.fixture(scope="module")
+def mesh_mp():
+    return Mesh(jax.devices()[:8], axis_names=("mp",))
+
+
+class TestDpScanStepParity:
+    def test_default_deskew_path(self, mesh):
+        cfg = preset_sim16()  # deskew=True: in-solver deskew included
+        ref, sh, st_ref, st_sh = run_pair(cfg, sharded_scan_step, mesh, lambda s: replicate(s, mesh))
+        np.testing.assert_allclose(sh, ref, atol=1e-4)
+        # maps agree: same occupancy (inserts computed replicated)
+        assert int(st_sh.surf_map.occ.sum()) == int(st_ref.surf_map.occ.sum())
+
+    def test_odometry_stage_two_tier(self, mesh):
+        cfg = dataclasses.replace(preset_sim16(), odometry_stage=True)
+        ref, sh, *_ = run_pair(cfg, sharded_scan_step, mesh, lambda s: replicate(s, mesh))
+        np.testing.assert_allclose(sh, ref, atol=1e-4)
+
+    def test_two_step_mode(self, mesh):
+        cfg = dataclasses.replace(preset_sim16(), two_step=True)
+        ref, sh, *_ = run_pair(cfg, sharded_scan_step, mesh, lambda s: replicate(s, mesh))
+        np.testing.assert_allclose(sh, ref, atol=1e-4)
+
+
+class TestMpScanStepParity:
+    def test_slot_sharded_map_engine_step(self, mesh_mp):
+        """One full engine step against the slot-sharded map: the exact merged
+        KNN + owned-row insert compose into _process_scan_body."""
+        cfg = preset_sim16()
+
+        def place(st):
+            return st._replace(
+                corner_map=shard_map_arrays(st.corner_map, mesh_mp),
+                surf_map=shard_map_arrays(st.surf_map, mesh_mp),
+            )
+
+        ref, sh, st_ref, st_sh = run_pair(cfg, sharded_scan_step_mp, mesh_mp, place)
+        # sharded KNN/insert are exact (same candidates, same claims) — only
+        # float reassociation in fits differs
+        np.testing.assert_allclose(sh, ref, atol=1e-4)
+        assert int(st_sh.surf_map.occ.sum()) == int(st_ref.surf_map.occ.sum())
+        assert int(st_sh.corner_map.occ.sum()) == int(st_ref.corner_map.occ.sum())
