@@ -184,3 +184,73 @@ def kitti_drift(
         "n_segments": len(t_errs),
         "per_length": per_len,
     }
+
+
+# --- accuracy-gate envelopes (run_slam --gate) ------------------------------
+
+def check_envelope(summary: dict, envelope: dict) -> list:
+    """Compare a run summary against an accuracy envelope; return the list of
+    breach messages (empty = within envelope).
+
+    Envelope keys (all optional; only present keys are checked):
+      ate_m        max aligned ATE RMSE (m)
+      ate_raw_m    max unaligned ATE RMSE (m)
+      t_rel_pct    max KITTI translational drift (%)
+      r_deg_per_m  max KITTI rotational drift (deg/m)
+      min_scans    minimum processed scan count (guards silent truncation)
+      min_scans_per_s  minimum throughput (the 10 Hz real-time budget,
+                       A-LOAM scanRegistration.cpp:480)
+    A metric the envelope names but the run could not compute (e.g. no ground
+    truth) is itself a breach — the gate never passes vacuously.
+    """
+    breaches = []
+    checks = [
+        ("ate_m", "ATE RMSE (aligned)", "m", False),
+        ("ate_raw_m", "ATE RMSE (raw)", "m", False),
+        ("t_rel_pct", "KITTI translational drift", "%", False),
+        ("r_deg_per_m", "KITTI rotational drift", "deg/m", False),
+        ("min_scans", "processed scans", "", True),
+        ("min_scans_per_s", "throughput", "scans/s", True),
+    ]
+    key_map = {"min_scans": "n_scans", "min_scans_per_s": "scans_per_s"}
+    for key, label, unit, is_min in checks:
+        if key not in envelope:
+            continue
+        bound = float(envelope[key])
+        val = summary.get(key_map.get(key, key))
+        if val is None or (isinstance(val, float) and np.isnan(val)):
+            breaches.append(f"{label}: unavailable in this run "
+                            f"(envelope requires {'>=' if is_min else '<='} "
+                            f"{bound} {unit})".rstrip())
+            continue
+        ok = val >= bound if is_min else val <= bound
+        if not ok:
+            op = ">=" if is_min else "<="
+            breaches.append(
+                f"{label}: {val:.4g} {unit} breaches envelope {op} {bound} {unit}"
+            )
+    return breaches
+
+
+def load_envelope(spec: str) -> dict:
+    """Resolve a --gate spec: a JSON file path, a named envelope shipped in
+    eval/envelopes/, or an inline 'key=value,key=value' string."""
+    import json
+    import os
+
+    if os.path.exists(spec):
+        with open(spec) as f:
+            return json.load(f)
+    named = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "envelopes", spec + ".json")
+    if os.path.exists(named):
+        with open(named) as f:
+            return json.load(f)
+    if "=" in spec:
+        env = {}
+        for part in spec.split(","):
+            k, v = part.split("=")
+            env[k.strip()] = float(v)
+        return env
+    raise ValueError(
+        f"--gate {spec!r}: not a file, a named envelope, or key=value pairs")

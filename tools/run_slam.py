@@ -26,14 +26,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _pipeline_cfg(name: str):
+    """Resolve a --preset string to a PipelineConfig. The *-ref presets are
+    the reference-parameter parity pack (agi_lidar_slam_tpu/presets.py)."""
+    from agi_lidar_slam_tpu.config import (preset_aloam_kitti64,
+                                           preset_lego_vlp16, preset_sim16)
+    from agi_lidar_slam_tpu.presets import REFERENCE_PIPELINE_PRESETS
+
+    table = {"aloam": preset_aloam_kitti64, "sim16": preset_sim16,
+             "lego": preset_lego_vlp16, **REFERENCE_PIPELINE_PRESETS}
+    return table[name]()
+
+
+def _gate_exit(args, summary: dict) -> int:
+    """Apply --gate: compare the run summary to the envelope, print the
+    verdict, and return the process exit code (2 on breach — the one-command
+    accuracy gate for dataset parity runs)."""
+    if not getattr(args, "gate", None):
+        return 0
+    from agi_lidar_slam_tpu.eval.metrics import check_envelope, load_envelope
+
+    env = load_envelope(args.gate)
+    breaches = check_envelope(summary, env)
+    bounds = {k: v for k, v in env.items() if not k.startswith("_")}
+    if breaches:
+        print(f"GATE FAIL ({args.gate}):")
+        for b in breaches:
+            print(f"  - {b}")
+        return 2
+    print(f"GATE PASS ({args.gate}): within {bounds}")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--kitti", help="KITTI sequence dir (with velodyne/)")
     ap.add_argument("--bag", help="ROS1 .bag file (PointCloud2/CustomMsg + Imu)")
     ap.add_argument("--sim", action="store_true", help="run on the simulator")
     ap.add_argument("--preset", default="aloam",
-                    choices=["aloam", "sim16", "lego"],
-                    help="engine configuration preset (feature-based engines)")
+                    choices=["aloam", "sim16", "lego",
+                             "aloam-ref", "lego-ref", "liosam-ref",
+                             "avia-ref", "horizon-ref"],
+                    help="engine configuration preset; the *-ref presets "
+                         "restore the reference's shipped parameters "
+                         "(presets.py) for dataset parity runs. avia-ref "
+                         "applies to --engine lio, horizon-ref to livox")
+    ap.add_argument("--gate",
+                    help="accuracy envelope: JSON file, named envelope in "
+                         "eval/envelopes/ (e.g. kitti00_aloam), or inline "
+                         "'ate_m=0.5,t_rel_pct=1.0'; exits 2 on breach")
     ap.add_argument("--engine", default=None,
                     choices=["odom", "slam", "lio", "livox", "liosam"],
                     help="odom/slam: feature scan-to-map; lio: FAST-LIO IESKF; "
@@ -81,22 +122,23 @@ def main() -> int:
         args.engine = "slam" if args.slam else "odom"
     if args.load_map and args.engine not in ("odom", "slam", "lio"):
         ap.error("--load-map relocalization covers the odom/slam/lio engines")
+    if args.preset == "avia-ref" and args.engine != "lio":
+        ap.error("--preset avia-ref is the --engine lio (IESKF) preset")
+    if args.preset == "horizon-ref" and args.engine != "livox":
+        ap.error("--preset horizon-ref is the --engine livox preset")
 
     if args.bag:
         return _run_bag(args)
 
     import jax.numpy as jnp
 
-    from agi_lidar_slam_tpu.config import (preset_aloam_kitti64, preset_lego_vlp16,
-                                           preset_sim16)
     from agi_lidar_slam_tpu.eval.metrics import ate_rmse
     from agi_lidar_slam_tpu.geometry import se3, so3
     from agi_lidar_slam_tpu.io.checkpoint import save_map_bundle
     from agi_lidar_slam_tpu.runtime.metrics import MetricsWriter, StageTimer
     from agi_lidar_slam_tpu.runtime.pipeline import init_state, process_scan
 
-    cfg = {"aloam": preset_aloam_kitti64, "sim16": preset_sim16,
-           "lego": preset_lego_vlp16}[args.preset]()
+    cfg = _pipeline_cfg(args.preset)
 
     gt_positions = None
     gt_quats = None  # (N,4) xyzw ground-truth orientations when available
@@ -138,7 +180,7 @@ def main() -> int:
         gt_positions = np.stack([np.asarray(p.t) for p in poses])
         gt_quats = np.stack([np.asarray(p.q)[[1, 2, 3, 0]] for p in poses])
         if args.preset == "aloam":
-            cfg = preset_sim16()
+            cfg = _pipeline_cfg("sim16")
     else:
         ap.error("need --kitti or --sim")
 
@@ -147,9 +189,9 @@ def main() -> int:
     est, est_q = [], []
 
     if args.slam:
-        from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig, SlamDriver
+        from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamDriver
 
-        driver = SlamDriver(SlamConfig(pipeline=cfg))
+        driver = SlamDriver(_slam_cfg(args.preset, cfg))
         if args.load_map:
             driver.state = driver.state._replace(engine=_reloc_state(args, cfg))
         n = 0
@@ -182,10 +224,12 @@ def main() -> int:
     est = np.stack(est)
     print(f"processed {n} scans in {wall:.2f}s ({n / wall:.2f} scans/s)")
     print("stage timing:", timer.summary())
+    summary = {"n_scans": n, "scans_per_s": n / wall}
     if gt_positions is not None and len(gt_positions) >= len(est):
         err = ate_rmse(est, gt_positions[: len(est)])
         err_na = ate_rmse(est, gt_positions[: len(est)], align=False)
         print(f"ATE RMSE: {err:.3f} m (aligned), {err_na:.3f} m (raw)")
+        summary.update(ate_m=err, ate_raw_m=err_na)
         from agi_lidar_slam_tpu.eval.metrics import kitti_drift
 
         gq = gt_quats[: len(est)] if gt_quats is not None else None
@@ -196,6 +240,8 @@ def main() -> int:
                   f"{d['r_deg_per_m']:.5f} deg/m rotational "
                   f"({d['n_segments']} segments; per-length "
                   f"{ {k: round(v, 3) for k, v in d['per_length'].items()} })")
+            summary.update(t_rel_pct=d["t_rel_pct"],
+                           r_deg_per_m=d["r_deg_per_m"])
     if args.traj_out:
         from agi_lidar_slam_tpu.geometry import so3 as _so3
 
@@ -210,7 +256,30 @@ def main() -> int:
         print("maps written:", args.save_map)
     metrics.close()
     _maybe_viz(args)
-    return 0
+    return _gate_exit(args, summary)
+
+
+def _slam_cfg(preset: str, pcfg):
+    """SlamConfig for the graph engines, with the graph-side reference
+    parameters applied for the *-ref presets (LeGO keyframe 0.3 m,
+    mapOptmization.cpp:1634-1641; LIO-SAM loop params, params.yaml:82-87)."""
+    from agi_lidar_slam_tpu.graph.loop_closure import LoopConfig
+    from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig
+
+    if preset in ("lego", "lego-ref"):
+        return SlamConfig(pipeline=pcfg, kf_dist=0.3, kf_angle=0.2)
+    if preset == "liosam-ref":
+        from agi_lidar_slam_tpu.presets import LioSamRefParams
+
+        rp = LioSamRefParams()
+        return SlamConfig(
+            pipeline=pcfg, kf_dist=rp.kf_dist, kf_angle=rp.kf_angle,
+            loop=LoopConfig(radius=rp.loop_radius,
+                            min_stamp_sep=300,  # 30 s at the 10 Hz scan rate
+                            submap_half=rp.loop_submap // 2,
+                            fitness_thresh=rp.loop_fitness),
+        )
+    return SlamConfig(pipeline=pcfg)
 
 
 def _reloc_state(args, cfg):
@@ -254,7 +323,6 @@ def _run_bag(args) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from agi_lidar_slam_tpu.config import preset_aloam_kitti64, preset_lego_vlp16, preset_sim16
     from agi_lidar_slam_tpu.io.bag_stream import bundle_to_grid, stream_bag
     from agi_lidar_slam_tpu.runtime.lio_pipeline import ImuWindow
     from agi_lidar_slam_tpu.runtime.metrics import MetricsWriter, StageTimer
@@ -299,7 +367,16 @@ def _run_bag(args) -> int:
         from agi_lidar_slam_tpu.runtime.lio_pipeline import (
             LioConfig, init_lio_state, process_lio_scan)
 
-        cfg = LioConfig()
+        blind = 0.0
+        ext_t = None
+        if args.preset == "avia-ref":
+            from agi_lidar_slam_tpu.presets import (lio_config_avia_ref,
+                                                    preset_sfastlio_avia_ref)
+
+            cfg = lio_config_avia_ref()
+            _, _, _, _, blind, ext_t = preset_sfastlio_avia_ref()
+        else:
+            cfg = LioConfig()
         reloc = None
         if args.load_map:
             from agi_lidar_slam_tpu.geometry import se3, so3
@@ -318,6 +395,9 @@ def _run_bag(args) -> int:
             win = imu_win(b)
             if state is None:
                 x0 = static_init(win.gyro, win.acc, win.mask)
+                if ext_t is not None:  # avia.yaml extrinsic_T (frozen:
+                    # extrinsic_est_en false, so seed it exactly)
+                    x0 = x0._replace(t_li=jnp.asarray(ext_t, jnp.float32))
                 state = init_lio_state(cfg, x0)
                 if reloc is not None:
                     from agi_lidar_slam_tpu.io.checkpoint import \
@@ -327,10 +407,14 @@ def _run_bag(args) -> int:
                     # keep the static-init gravity/bias estimates, seed the pose
                     state = state._replace(
                         x=x0._replace(p=state.x.p, q=state.x.q))
+            pmask = jnp.asarray(b.mask)
+            if blind > 0.0:  # blind-zone removal (avia.yaml preprocess.blind)
+                pmask = pmask & (
+                    jnp.linalg.norm(jnp.asarray(b.xyz), axis=-1) > blind)
             with timer.stage("scan"):
                 state, res = process_lio_scan(
                     state, jnp.asarray(b.xyz), jnp.asarray(b.rel_time),
-                    jnp.asarray(b.mask), win, cfg)
+                    pmask, win, cfg)
             est.append(np.asarray(res.x.p))
             metrics.log_scan(n, res, timer.last_ms)
             n += 1
@@ -340,7 +424,12 @@ def _run_bag(args) -> int:
     elif args.engine == "livox":
         from agi_lidar_slam_tpu.runtime.livox_pipeline import LivoxConfig, LivoxDriver
 
-        cfg = LivoxConfig()
+        if args.preset == "horizon-ref":
+            from agi_lidar_slam_tpu.presets import livox_config_horizon_ref
+
+            cfg = livox_config_horizon_ref()
+        else:
+            cfg = LivoxConfig()
         rings = args.rings or 6
         driver = LivoxDriver(cfg)
         for b in stream:
@@ -356,11 +445,16 @@ def _run_bag(args) -> int:
     elif args.engine == "liosam":
         from agi_lidar_slam_tpu.runtime.liosam_pipeline import (
             LioSamConfig, LioSamDriver)
-        from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig
 
-        pcfg = {"aloam": preset_aloam_kitti64, "sim16": preset_sim16,
-                "lego": preset_lego_vlp16}[args.preset]()
-        cfg = LioSamConfig(slam=SlamConfig(pipeline=pcfg))
+        pcfg = _pipeline_cfg(args.preset)
+        if args.preset == "liosam-ref":
+            from agi_lidar_slam_tpu.presets import LioSamRefParams
+
+            rp = LioSamRefParams()
+            cfg = LioSamConfig(slam=_slam_cfg(args.preset, pcfg),
+                               imu_noise=rp.imu_noise())
+        else:
+            cfg = LioSamConfig(slam=_slam_cfg(args.preset, pcfg))
         rings = args.rings or 16
         driver = LioSamDriver(cfg)
         for b in stream:
@@ -417,20 +511,20 @@ def _run_bag(args) -> int:
                       "--width to the sensor's points-per-ring and --rings/"
                       "--fov-* to its geometry", file=sys.stderr)
 
-        pcfg = {"aloam": preset_aloam_kitti64, "sim16": preset_sim16,
-                "lego": preset_lego_vlp16}[args.preset]()
+        pcfg = _pipeline_cfg(args.preset)
         # LeGO with an IMU stream in the bag: IMU-interpolated deskew
         # (adjustDistortion, featureAssociation.cpp:617-806) replaces the
         # solver's constant-velocity model — the gyro track captures
         # non-uniform intra-sweep rotation the CV model cannot
-        use_imu_deskew = args.preset == "lego" and not args.no_imu_deskew
+        use_imu_deskew = (args.preset in ("lego", "lego-ref")
+                          and not args.no_imu_deskew)
         if use_imu_deskew:
             from agi_lidar_slam_tpu.imu.deskew import deskew_imu_rotation
 
             pcfg = dataclasses.replace(pcfg, deskew=False)
         rings = args.rings or 16
         if args.engine == "slam":
-            driver = SlamDriver(SlamConfig(pipeline=pcfg))
+            driver = SlamDriver(_slam_cfg(args.preset, pcfg))
             if args.load_map:
                 driver.state = driver.state._replace(
                     engine=_reloc_state(args, pcfg))
@@ -496,7 +590,9 @@ def _run_bag(args) -> int:
         print("maps written:", args.save_map)
     metrics.close()
     _maybe_viz(args)
-    return 0
+    # bag runs carry no ground truth; the gate covers scan count/throughput
+    # (an envelope naming an accuracy metric fails loudly, never vacuously)
+    return _gate_exit(args, {"n_scans": n, "scans_per_s": n / wall})
 
 
 if __name__ == "__main__":
