@@ -84,9 +84,12 @@ def preset_lego_vlp16_ref() -> PipelineConfig:
             min_range=1.0,
             segmentation=True,
         ),
-        # mapping: 10 GN iterations (mapOptmization.cpp:1603), eigThre 100
+        # the engine's two_step solver is featureAssociation's two-step GN
+        # (surf -> z/roll/pitch, corner -> x/y/yaw): its degeneracy threshold
+        # is eigThre 10 (featureAssociation.cpp:1651-1678; the separate
+        # mapping GN uses 100 but operates on far denser correspondences)
         solver=dataclasses.replace(base.solver, n_outer=5, n_inner=2,
-                                   degen_eig_thresh=100.0),
+                                   degen_eig_thresh=10.0),
         corner_ds_voxel=0.2,  # cornerLeafSize (utility.h:86)
         surf_ds_voxel=0.4,  # surfLeafSize
         two_step=True,

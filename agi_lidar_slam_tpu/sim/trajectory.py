@@ -53,3 +53,39 @@ def circle_imu(t, radius: float, omega: float):
     del a_world
     gyro_body = jnp.stack([zeros, zeros, jnp.full_like(th, omega)], axis=-1)
     return gyro_body, acc_body
+
+
+def square_loop_pose(s, side: float, corner: float = 4.0) -> se3.Pose:
+    """Pose at arc-length s along a CCW rounded square in the XY plane,
+    centered at the origin, body x tangent to the path. `side` is the
+    straight-segment length; `corner` the quarter-circle corner radius.
+    The city-block driving pattern (KITTI urban loops): four straights with
+    90-degree turns, closing on itself — exercises loop closure and turning
+    at intersections."""
+    s = jnp.asarray(s, dtype=jnp.float32)
+    arc = 0.5 * jnp.pi * corner
+    leg = side + arc  # one straight + one corner
+    perim = 4.0 * leg
+    s = jnp.mod(s, perim)
+    k = jnp.floor(s / leg)  # which leg (0..3)
+    u = s - k * leg  # arc length into the leg
+    h = side / 2.0
+    # leg-local: straight from (-h, -h-corner) towards +x, then corner turning left
+    on_straight = u < side
+    xs = jnp.where(on_straight, u - h, h)
+    ys = jnp.full_like(s, -h - corner)
+    ang = jnp.where(on_straight, 0.0, (u - side) / corner)  # turned angle
+    cx, cy = h, -h  # corner circle center in leg frame
+    xc = cx + corner * jnp.sin(ang)
+    yc = cy - corner * jnp.cos(ang)
+    x = jnp.where(on_straight, xs, xc)
+    y = jnp.where(on_straight, ys, yc)
+    yaw_local = jnp.where(on_straight, 0.0, ang)
+    # rotate leg frame by k * 90 deg
+    rot = k * 0.5 * jnp.pi
+    cr, sr = jnp.cos(rot), jnp.sin(rot)
+    p = jnp.stack([cr * x - sr * y, sr * x + cr * y, jnp.zeros_like(s)], axis=-1)
+    yaw = yaw_local + rot
+    q = so3.quat_exp(jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw],
+                               axis=-1))
+    return se3.Pose(q, p)

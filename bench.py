@@ -1,21 +1,31 @@
 #!/usr/bin/env python
-"""Benchmark harness: full per-scan pipeline throughput on the real chip.
+"""Benchmark harness: per-scan throughput of ALL FIVE engine configurations
+on the real chip.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "engines": {...}}
 
-Metric: sustained scans/second of the complete odometry+mapping hot path
-(deskew -> feature extraction -> iterated scan-to-map GN with KNN re-association
--> map insertion) at KITTI HDL-64 scale (64x1800 grid, ~8k surf + 2k corner
-features after downsampling), the A-LOAM/LIO-SAM operating point.
+The headline metric stays the odometry pipeline (deskew -> features ->
+iterated scan-to-map GN with KNN re-association -> map insert) at KITTI
+HDL-64 scale — the A-LOAM/LIO-SAM operating point. The "engines" field adds
+the other four configurations, all at the same 64x1800 scan scale:
+  slam    — odometry + keyframe graph + loop-closure cadence (SlamDriver)
+  lio     — FAST-LIO IESKF direct point-to-plane with IMU propagation
+  liosam  — IMU-coupled odometry + keyframe factor graph (LioSamDriver)
+  livox   — sliding-window MAP LIO, 3 feature classes (LivoxDriver)
 
-Baseline: the reference runs this pipeline at 10 scans/s (10 Hz lidar) with a
-100 ms real-time budget per stage (A-LOAM scanRegistration.cpp:480,
-laserOdometry.cpp:693) — vs_baseline = scans_per_s / 10. The BASELINE.md
-north-star target is >=10x real-time per chip, i.e. vs_baseline >= 10.
+Baseline: the reference runs each pipeline at 10 scans/s (10 Hz lidar, 100 ms
+real-time budget: A-LOAM scanRegistration.cpp:480, laserOdometry.cpp:693;
+S-FAST_LIO/LIO-SAM run at sensor rate). vs_baseline = scans_per_s / 10; the
+BASELINE.md target is >=10x real-time per chip for the headline.
+
+Progress goes to stderr (the TPU tunnel's first compile of each engine is
+minutes; silence is indistinguishable from a hang without it).
 """
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -32,13 +42,27 @@ import jax.numpy as jnp
 from agi_lidar_slam_tpu.config import preset_aloam_kitti64
 from agi_lidar_slam_tpu.geometry import se3, so3
 from agi_lidar_slam_tpu.runtime.pipeline import init_state, process_scan
+from agi_lidar_slam_tpu.sim.trajectory import (circle_imu, circle_pose,
+                                               circle_velocity)
 from agi_lidar_slam_tpu.sim.world import default_world, simulate_scan
+
+RINGS, WIDTH = 64, 1800  # KITTI HDL-64 scan scale
+SCAN_DT = 0.1  # 10 Hz
+IMU_PER_SCAN = 20  # 200 Hz IMU
+
+
+def log(msg):
+    print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+T0 = time.perf_counter()
 
 
 def make_scans(n_scans: int = 8):
-    """KITTI-HDL-64-scale synthetic scans along a short trajectory."""
+    """HDL-64-scale synthetic scans along a short arc (odom/slam engines)."""
     world = default_world(seed=0, n_pillars=48, extent=35.0)
-    scans, poses = [], []
+    scans = []
     q, t = so3.quat_identity(), jnp.zeros(3)
     for i in range(n_scans):
         pose = se3.Pose(q, t)
@@ -47,44 +71,184 @@ def make_scans(n_scans: int = 8):
             t + so3.quat_rotate(q, jnp.asarray([1.0, 0.0, 0.0])),
         )
         scans.append(
-            simulate_scan(world, pose, nxt, rings=64, width=1800,
+            simulate_scan(world, pose, nxt, rings=RINGS, width=WIDTH,
                           fov_up_deg=2.0, fov_down_deg=-24.8, max_range=80.0,
                           noise_std=0.01, seed=i)
         )
-        poses.append(pose)
         q, t = nxt.q, nxt.t
     return scans
 
 
-def main():
-    cfg = preset_aloam_kitti64()
-    scans = [jax.device_put(s) for s in make_scans()]
-    state = init_state(cfg)
+def make_circle_scans(n_scans: int, radius=8.0, omega=0.25):
+    """HDL-64-scale scans + exact IMU windows on a circle (IMU engines).
+    Same (rings, width) as make_scans so the raycast program is shared."""
+    from agi_lidar_slam_tpu.runtime.lio_pipeline import ImuWindow
 
-    # warmup: compile + populate the map so the steady-state step is realistic
-    for s in scans[:3]:
-        state, res = process_scan(state, s, cfg)
-    float(res.pose.t[0])  # device fetch = true sync (block_until_ready is not
-    # a reliable barrier on tunneled PJRT backends)
+    world = default_world(seed=3, n_pillars=48, extent=35.0)
+    scans, wins = [], []
+    for i in range(n_scans):
+        t0, t1 = i * SCAN_DT, (i + 1) * SCAN_DT
+        p0, p1 = circle_pose(t0, radius, omega), circle_pose(t1, radius, omega)
+        scans.append(
+            simulate_scan(world, p0, p1, rings=RINGS, width=WIDTH,
+                          fov_up_deg=2.0, fov_down_deg=-24.8, max_range=80.0,
+                          noise_std=0.01, seed=i)
+        )
+        ts = t0 + (jnp.arange(IMU_PER_SCAN) + 0.5) * (SCAN_DT / IMU_PER_SCAN)
+        gy, ac = circle_imu(ts, radius, omega)
+        wins.append(ImuWindow(gy, ac,
+                              jnp.full((IMU_PER_SCAN,), SCAN_DT / IMU_PER_SCAN),
+                              jnp.ones((IMU_PER_SCAN,), bool)))
+    return scans, wins
 
-    n_reps = 5
+
+def _time_loop(step, items, n_reps):
+    """Time step(item) over items x n_reps; step returns a device scalar to
+    fetch for a true sync (block_until_ready is unreliable on the tunnel)."""
     n = 0
     t0 = time.perf_counter()
+    last = None
     for _ in range(n_reps):
-        for s in scans[3:]:
-            state, res = process_scan(state, s, cfg)
+        for it in items:
+            last = step(it)
             n += 1
-    # the engine state chains scan-to-scan, so fetching the last pose forces
-    # completion of every timed step
-    float(res.pose.t[0])
-    dt = time.perf_counter() - t0
+    float(last)  # device fetch = barrier: state chains scan-to-scan
+    return n / (time.perf_counter() - t0)
 
-    scans_per_s = n / dt
+
+def bench_odom(scans):
+    cfg = preset_aloam_kitti64()
+    state = init_state(cfg)
+    for s in scans[:3]:
+        state, res = process_scan(state, s, cfg)
+    float(res.pose.t[0])
+    log("odom: warm")
+    holder = {"state": state}
+
+    def step(s):
+        holder["state"], r = process_scan(holder["state"], s, cfg)
+        return r.pose.t[0]
+
+    return _time_loop(step, scans[3:], 5)
+
+
+def bench_slam(scans):
+    """Full SLAM driver: keyframe gating + loop-detection cadence included
+    (loop_every=10 as shipped; the arc is loop-free, so this measures the
+    odometry+keyframe+detect hot path — the 'no loop found' steady state)."""
+    from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig, SlamDriver
+
+    driver = SlamDriver(SlamConfig(pipeline=preset_aloam_kitti64()))
+    for s in scans[:3]:
+        res = driver.process(s)
+    float(res.pose.t[0])
+    log("slam: warm")
+
+    def step(s):
+        return driver.process(s).pose.t[0]
+
+    return _time_loop(step, scans[3:], 5)
+
+
+def bench_lio(scans, wins):
+    """FAST-LIO IESKF: IMU propagate -> undistort -> downsample -> iterated
+    direct point-to-plane -> map insert, on the flattened 115k-point scans."""
+    from agi_lidar_slam_tpu.imu.eskf import NavState
+    from agi_lidar_slam_tpu.runtime.lio_pipeline import (LioConfig,
+                                                         init_lio_state,
+                                                         process_lio_scan)
+
+    cfg = LioConfig()
+    x0 = NavState.identity()._replace(v=circle_velocity(0.0, 8.0, 0.25))
+    state = init_lio_state(cfg, x0)
+    flat = [(s.xyz.reshape(-1, 3), (s.time * SCAN_DT).reshape(-1).astype(jnp.float32),
+             s.mask.reshape(-1)) for s in scans]
+    for (p, tt, m), w in zip(flat[:3], wins[:3]):
+        state, res = process_lio_scan(state, p, tt, m, w, cfg)
+    float(res.x.p[0])
+    log("lio: warm")
+    holder = {"state": state}
+
+    def step(item):
+        (p, tt, m), w = item
+        holder["state"], r = process_lio_scan(holder["state"], p, tt, m, w, cfg)
+        return r.x.p[0]
+
+    return _time_loop(step, list(zip(flat[3:], wins[3:])), 5)
+
+
+def bench_liosam(scans, wins):
+    """Integrated LIO-SAM driver: preintegration + deskew + scan-to-map +
+    keyframe factors + ESKF fusion per scan."""
+    from agi_lidar_slam_tpu.runtime.liosam_pipeline import (LioSamConfig,
+                                                            LioSamDriver)
+    from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig
+
+    cfg = LioSamConfig(slam=SlamConfig(pipeline=preset_aloam_kitti64()),
+                       scan_period=SCAN_DT)
+    driver = LioSamDriver(cfg, x0=circle_pose(0.0, 8.0, 0.25),
+                          v0=circle_velocity(0.0, 8.0, 0.25))
+    for s, w in zip(scans[:3], wins[:3]):
+        res = driver.process(s, w)
+    float(res.pose.t[0])
+    log("liosam: warm")
+
+    def step(item):
+        s, w = item
+        return driver.process(s, w).pose.t[0]
+
+    return _time_loop(step, list(zip(scans[3:], wins[3:])), 5)
+
+
+def bench_livox(scans, wins):
+    """Sliding-window MAP LIO (window 2, Estimator.h:29): 3-class features +
+    dynamic removal + window solve + marginalization, post-initialization."""
+    from agi_lidar_slam_tpu.runtime.livox_pipeline import LivoxConfig, LivoxDriver
+
+    cfg = LivoxConfig()
+    driver = LivoxDriver(cfg, init_frames=4, x0=circle_pose(0.0, 8.0, 0.25))
+    # run through LO bootstrap + MAP init + 1 engaged frame before timing
+    for s, w in zip(scans[:6], wins[:6]):
+        res = driver.process(s, w)
+    assert driver.engaged, "livox driver failed to initialize"
+    float(res.pose.t[0])
+    log("livox: warm (engaged)")
+
+    def step(item):
+        s, w = item
+        return driver.process(s, w).pose.t[0]
+
+    return _time_loop(step, list(zip(scans[6:], wins[6:])), 5)
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    scans = [jax.device_put(s) for s in make_scans(8)]
+    log("arc scans simulated")
+    cscans, wins = make_circle_scans(10)
+    cscans = [jax.device_put(s) for s in cscans]
+    wins = [jax.device_put(w) for w in wins]
+    log("circle scans + IMU simulated")
+
+    engines = {}
+    engines["odom"] = round(bench_odom(scans), 2)
+    log(f"odom: {engines['odom']} scans/s")
+    engines["slam"] = round(bench_slam(scans), 2)
+    log(f"slam: {engines['slam']} scans/s")
+    engines["lio"] = round(bench_lio(cscans, wins), 2)
+    log(f"lio: {engines['lio']} scans/s")
+    engines["liosam"] = round(bench_liosam(cscans, wins), 2)
+    log(f"liosam: {engines['liosam']} scans/s")
+    engines["livox"] = round(bench_livox(cscans, wins), 2)
+    log(f"livox: {engines['livox']} scans/s")
+
     print(json.dumps({
         "metric": "odometry_pipeline_throughput",
-        "value": round(scans_per_s, 2),
+        "value": engines["odom"],
         "unit": "scans/s (HDL-64 scale, full deskew+features+GN+map-update)",
-        "vs_baseline": round(scans_per_s / 10.0, 2),
+        "vs_baseline": round(engines["odom"] / 10.0, 2),
+        "engines": engines,
+        "engines_unit": "scans/s at 64x1800 scan scale; baseline 10 (10 Hz)",
     }))
 
 

@@ -96,6 +96,17 @@ def main() -> int:
                     help="grid fov for bag clouds without a ring channel")
     ap.add_argument("--fov-down", type=float, default=-24.8)
     ap.add_argument("--frames", type=int, default=40, help="sim frames")
+    ap.add_argument("--world", default="arena",
+                    choices=["arena", "city", "corridor"],
+                    help="simulator world: arena (pillar box), city "
+                         "(urban-canyon block loop), corridor (degenerate "
+                         "tunnel along +x)")
+    ap.add_argument("--movers", type=int, default=0,
+                    help="number of moving car-sized boxes in the sim world")
+    ap.add_argument("--sim-rings", type=int, default=16,
+                    help="simulated beam count (64 = HDL-64 scale)")
+    ap.add_argument("--sim-width", type=int, default=900,
+                    help="simulated columns per sweep (1800 = HDL-64 scale)")
     ap.add_argument("--max-scans", type=int, default=None)
     ap.add_argument("--width", type=int, default=1800)
     ap.add_argument("--metrics", help="JSONL metrics output path")
@@ -162,24 +173,60 @@ def main() -> int:
 
             gt_quats = mat_to_quat(T[: len(paths), :3, :3])
     elif args.sim:
-        from agi_lidar_slam_tpu.sim.world import default_world, simulate_scan
+        from agi_lidar_slam_tpu.sim.trajectory import square_loop_pose
+        from agi_lidar_slam_tpu.sim.world import (city_world, corridor_world,
+                                                  default_world, simulate_scan,
+                                                  with_movers)
 
-        world = default_world(seed=0)
-        q, t = so3.quat_identity(), jnp.zeros(3)
+        ds = 0.35  # metres per frame (3.5 m/s at 10 Hz)
+        scan_period = 0.1
+        if args.world == "city":
+            world = city_world(seed=0)  # street centerlines at +-13 m
+            if args.movers:
+                world = with_movers(world, n=args.movers, lane_y=-13.0,
+                                    x_range=(-9.0, 9.0))
+
+            def pose_at(i):  # rounded-square loop on the street grid
+                return square_loop_pose(i * ds, side=18.0, corner=4.0)
+        elif args.world == "corridor":
+            world = corridor_world(length=max(60.0, args.frames * ds + 20.0),
+                                   n_alcoves=max(2, args.frames // 25))
+            if args.movers:
+                world = with_movers(world, n=args.movers,
+                                    x_range=(8.0, args.frames * ds))
+
+            def pose_at(i):
+                return se3.Pose(so3.quat_identity(),
+                                jnp.asarray([i * ds, 0.0, 0.0]))
+        else:
+            world = default_world(seed=0)
+            if args.movers:
+                world = with_movers(world, n=args.movers)
+            _arc = []
+            q, t = so3.quat_identity(), jnp.zeros(3)
+            for _ in range(args.frames + 1):
+                _arc.append(se3.Pose(q, t))
+                q = so3.quat_normalize(
+                    so3.quat_mul(q, so3.quat_exp(jnp.asarray([0, 0, 0.03]))))
+                t = t + so3.quat_rotate(q, jnp.asarray([ds, 0.0, 0.0]))
+
+            def pose_at(i):
+                return _arc[i]
+
         poses, scan_list = [], []
+        inv0 = se3.inverse(pose_at(0))  # engines start at identity: rebase GT
         for i in range(args.frames):
-            p = se3.Pose(q, t)
-            q = so3.quat_normalize(so3.quat_mul(q, so3.quat_exp(jnp.asarray([0, 0, 0.03]))))
-            t = t + so3.quat_rotate(q, jnp.asarray([0.35, 0.0, 0.0]))
+            p, nxt = pose_at(i), pose_at(i + 1)
             scan_list.append(
-                simulate_scan(world, p, se3.Pose(q, t), rings=16, width=900,
-                              noise_std=0.005, seed=i)
+                simulate_scan(world, p, nxt, rings=args.sim_rings,
+                              width=args.sim_width, noise_std=0.005, seed=i,
+                              t0=i * scan_period, scan_period=scan_period)
             )
-            poses.append(p)
+            poses.append(se3.compose(inv0, p))
         scans = scan_list
         gt_positions = np.stack([np.asarray(p.t) for p in poses])
         gt_quats = np.stack([np.asarray(p.q)[[1, 2, 3, 0]] for p in poses])
-        if args.preset == "aloam":
+        if args.preset == "aloam" and args.sim_rings < 32:
             cfg = _pipeline_cfg("sim16")
     else:
         ap.error("need --kitti or --sim")
