@@ -78,3 +78,29 @@ def deskew_imu_rotation(
     xyz = so3.quat_rotate(q_tau, flat) + tau[:, None] * rel_t
     return ScanGrid(xyz.reshape(scan.xyz.shape).astype(scan.xyz.dtype),
                     scan.mask, scan.time)
+
+
+def fuse_imu_rate(pose_q: jnp.ndarray, pose_t: jnp.ndarray,
+                  v_world: jnp.ndarray, gyro: jnp.ndarray, dt: jnp.ndarray,
+                  mask: jnp.ndarray):
+    """TransformFusion for the LiDAR-only engines (LeGO-LOAM
+    transformFusion.cpp:35-288): compose the scan-rate fused pose with
+    IMU-rate increments — rotation from the integrated gyro track, translation
+    from the constant-velocity estimate (the same split the deskew path uses;
+    LeGO's own 200 Hz fusion composes odometry increments the same way).
+
+    Args: pose (q wxyz, t) at the sweep start, v_world (3,) scan-rate
+    velocity estimate, gyro/dt/mask the (M,) IMU window covering the sweep.
+    Returns (qs (M,4), ps (M,3), valid (M,)): one world pose per IMU sample.
+    """
+    dts = jnp.where(mask, dt, 0.0)
+
+    def step(q, inp):
+        w, d = inp
+        q2 = so3.quat_normalize(so3.quat_mul(q, so3.quat_exp(w * d)))
+        return q2, q2
+
+    _, qs = jax.lax.scan(step, pose_q, (gyro, dts))
+    ts = jnp.cumsum(dts)
+    ps = pose_t[None, :] + ts[:, None] * v_world[None, :]
+    return qs, ps, mask

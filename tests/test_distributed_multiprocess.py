@@ -1,0 +1,77 @@
+"""Two-PROCESS jax.distributed parity test (VERDICT r2 item 6): spawns two
+real OS processes on localhost, forms a 2-process x 2-device global mesh via
+`init_distributed`, and solves the edge-sharded pose graph with its CG
+reductions psumming ACROSS the process boundary — the DCN collective path of
+a 2-host deployment, exercised without TPU hardware.
+
+The in-process 8-virtual-device tests (test_pose_graph.py, test_map_shard.py)
+prove the sharded math; this one proves the multi-process runtime glue
+(coordinator bring-up, cross-process array assembly, collectives over the
+process boundary) gives the exact same answer.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_pose_graph_parity(tmp_path):
+    out = str(tmp_path / "dist_result.npz")
+    coord = f"localhost:{_free_port()}"
+    env_base = dict(os.environ)
+    # sitecustomize registers the axon TPU plugin at interpreter start —
+    # clear it via env BEFORE the worker interpreter launches
+    env_base.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+                    XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    procs = []
+    for pid in range(2):
+        env = dict(env_base, DIST_COORD=coord, DIST_NPROC="2",
+                   DIST_PID=str(pid), DIST_OUT=out)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "_dist_worker.py")],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    fails = []
+    for pid, p in enumerate(procs):
+        try:
+            out_b, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out_b, _ = p.communicate()
+            fails.append(f"proc {pid} timed out:\n{out_b.decode()[-2000:]}")
+            continue
+        if p.returncode != 0:
+            fails.append(f"proc {pid} rc={p.returncode}:\n"
+                         f"{out_b.decode()[-2000:]}")
+    assert not fails, "\n".join(fails)
+    assert os.path.exists(out), "worker 0 wrote no result"
+
+    # single-process reference (this pytest process: plain unsharded solve)
+    from agi_lidar_slam_tpu.graph.pose_graph import solve_pose_graph
+    from tests._dist_worker import build_problem
+
+    poses, n_nodes, edges = build_problem()
+    ref = solve_pose_graph(poses, n_nodes, edges)
+    got = np.load(out)
+    np.testing.assert_allclose(got["t"], np.asarray(ref.t), atol=1e-5)
+    # quaternion sign is gauge: compare |<q1,q2>|
+    dots = np.abs(np.sum(got["q"] * np.asarray(ref.q), axis=-1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

@@ -115,8 +115,10 @@ def main() -> int:
     ap.add_argument("--no-imu-deskew", action="store_true",
                     help="disable IMU-interpolated deskew in bag+lego mode")
     ap.add_argument("--imu-rate-out",
-                    help="npz path for the IMU-rate pose stream (liosam "
-                         "engine; the TransformFusion 200-500 Hz output)")
+                    help="npz path for the IMU-rate pose stream (the "
+                         "TransformFusion 200-500 Hz output): liosam engine "
+                         "via the fused ESKF re-predict, odom/slam engines "
+                         "via gyro-track + constant-velocity fusion")
     ap.add_argument("--viz", help="render trajectory/metrics PNG after the run")
     ap.add_argument("--slam", action="store_true",
                     help="full SLAM (keyframes + loop closure) instead of odometry")
@@ -579,6 +581,7 @@ def _run_bag(args) -> int:
             state = _reloc_state(args, pcfg)
         else:
             state = init_state(pcfg)
+        imu_rate_acc = []  # (qs, ps, mask) per scan when --imu-rate-out
         for b in stream:
             grid = bundle_to_grid(b, rings, args.width, args.fov_up, args.fov_down)
             _grid_health_check(b, grid, n)
@@ -597,6 +600,20 @@ def _run_bag(args) -> int:
                 else:
                     state, res = process_scan(state, grid, pcfg)
             est.append(np.asarray(res.pose.t))
+            if args.imu_rate_out and bool(np.any(b.imu_mask)):
+                # TransformFusion analog for the LiDAR-only engines
+                # (transformFusion.cpp:35-288): scan-rate pose + gyro-track
+                # rotation + constant-velocity translation at IMU rate
+                from agi_lidar_slam_tpu.imu.deskew import fuse_imu_rate
+
+                cur = driver.state.engine if driver is not None else state
+                dt_sweep = float(np.sum(np.where(b.imu_mask, b.imu_dt, 0.0)))
+                v_w = ((np.asarray(cur.pose.t) - np.asarray(cur.prev_pose.t))
+                       / max(dt_sweep, 1e-3))
+                win = imu_win(b)
+                imu_rate_acc.append(fuse_imu_rate(
+                    cur.pose.q, cur.pose.t, jnp.asarray(v_w, jnp.float32),
+                    win.gyro, win.dt, win.mask))
             _feature_health_check(res, n)
             metrics.log_scan(n, res, timer.last_ms)
             n += 1
@@ -605,6 +622,13 @@ def _run_bag(args) -> int:
         if driver is not None:
             driver.finalize()
         final_state = driver.state.engine if driver is not None else state
+        if args.imu_rate_out and imu_rate_acc:
+            qs = np.stack([np.asarray(q) for q, p, m in imu_rate_acc])
+            ps = np.stack([np.asarray(p) for q, p, m in imu_rate_acc])
+            ms = np.stack([np.asarray(m) for q, p, m in imu_rate_acc])
+            np.savez(args.imu_rate_out, q=qs, p=ps, mask=ms)
+            print("imu-rate pose stream written:", args.imu_rate_out,
+                  f"({int(ms.sum())} poses)")
 
     wall = time.perf_counter() - t_start
     if n == 0:
