@@ -68,6 +68,10 @@ class LivoxConfig:
     lidar_weight: float = 30.0
     nonfeature_weight: float = 10.0
     bound_radius: float = 150.0  # Map_Manager MapMove analog; 0 disables
+    # IMU_Mode (horizon.launch:10-11): 0 = no IMU (LiDAR-only odometry
+    # forever), 1 = gyro-only (IMU removes rotation distortion, estimation
+    # stays LiDAR-only), 2 = tightly-coupled window LIO after MAP init
+    imu_mode: int = 2
 
 
 class LivoxState(NamedTuple):
@@ -296,6 +300,10 @@ def _lo_step(st: _LoState, scan: ScanGrid, cfg: LivoxConfig):
                              surfs.mask, cfg.surf_map)[0]
     omap = insert_with_stats(st.other_map, others.xyz @ R.T + pose_opt.t,
                              others.mask, cfg.other_map)[0]
+    if cfg.bound_radius > 0:  # LO runs indefinitely under IMU_Mode 0/1
+        cmap = bound_map(cmap, pose_opt.t, cfg.bound_radius, cfg.corner_map)
+        smap = bound_map(smap, pose_opt.t, cfg.bound_radius, cfg.surf_map)
+        omap = bound_map(omap, pose_opt.t, cfg.bound_radius, cfg.other_map)
     new_st = _LoState(pose_opt, st.pose, cmap, smap, omap)
     return new_st, pose_opt, corners, surfs, others
 
@@ -361,12 +369,26 @@ class LivoxDriver:
         self.engaged = True
         self._lo = None
 
-    def process(self, scan: ScanGrid, imu: ImuWindow):
-        """Feed one (sweep, covering IMU window) pair. Returns a LivoxResult."""
+    def process(self, scan: ScanGrid, imu: ImuWindow | None = None):
+        """Feed one (sweep, covering IMU window) pair. Returns a LivoxResult.
+
+        IMU_Mode < 2 (horizon.launch:10-11) never engages the window LIO:
+        mode 0 ignores `imu` entirely; mode 1 uses the gyro track only to
+        remove rotation distortion before the LiDAR-only solve
+        (RemoveLidarDistortion, PoseEstimation.cpp:166-187)."""
         if self.engaged:
             self.state, res = process_livox_scan(self.state, scan, imu, self.cfg)
             return res
+        if self.cfg.imu_mode == 1 and imu is not None:
+            from ..imu.deskew import deskew_imu_rotation
+
+            # constant-velocity translation prior in the sweep-start frame
+            rel_t = so3.quat_rotate(so3.quat_conj(self._lo.pose.q),
+                                    self._lo.pose.t - self._lo.prev_pose.t)
+            scan = deskew_imu_rotation(scan, imu.gyro, imu.dt, imu.mask, rel_t)
         self._lo, pose, corners, surfs, others = _lo_step(self._lo, scan, self.cfg)
+        if self.cfg.imu_mode < 2:
+            return LivoxResult(pose, jnp.float32(0.0), jnp.int32(0))
         if self._poses:  # this IMU window links the previous LO frame to this one
             self._imu_windows.append(imu)
         self._poses.append(pose)

@@ -131,10 +131,13 @@ def _detect_step(bank: KeyframeBank, cfg: SlamConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("edges",))
 def _align_step(bank: KeyframeBank, edges: EdgeSet, cand: jnp.ndarray,
-                cfg: SlamConfig):
-    """Align the newest keyframe against a DETECTED candidate's submap and
-    (conditionally) add the loop edge. Returns (edges, accept, fitness)."""
-    cur = jnp.maximum(bank.count - 1, 0)
+                cfg: SlamConfig, cur: jnp.ndarray | None = None):
+    """Align keyframe `cur` (default: the newest) against a candidate's
+    submap and (conditionally) add the loop edge. Returns
+    (edges, accept, fitness). `cur` is traced, so the external-pair path
+    (detectLoopClosureExternal) shares this executable."""
+    if cur is None:
+        cur = jnp.maximum(bank.count - 1, 0)
     z, fitness, ok = align_loop(bank, cur, cand, cfg.loop)
     edges2 = add_edge(edges, cand, cur, z, cfg.loop_w_rot, cfg.loop_w_trans,
                       kind=0, do_add=ok)
@@ -269,15 +272,30 @@ class SlamDriver:
             if bool(p_found):
                 self._try_close_loop(p_cand)
 
-    def _try_close_loop(self, cand):
+    def _try_close_loop(self, cand, cur=None):
         cfg, st = self.cfg, self.state
-        edges2, accept, fitness = _align_step(st.bank, st.edges, cand, cfg)
+        edges2, accept, fitness = _align_step(st.bank, st.edges, cand, cfg,
+                                              cur=cur)
         if bool(accept):
             bank2, engine2 = _correct_and_rebuild(st.bank, edges2, st.engine, cfg)
             self.state = SlamState(engine2, bank2, edges2, st.last_kf_idx)
             self.n_loops_closed += 1
-        else:
-            self.state = st._replace(edges=edges2)
+            return True
+        self.state = st._replace(edges=edges2)
+        return False
+
+    def close_loop_external(self, cur: int, cand: int) -> bool:
+        """Externally supplied loop candidate (detectLoopClosureExternal,
+        LIO-SAM mapOptmization.cpp:883-940): a (new, old) keyframe-index pair
+        from an outside detector (place recognition, an operator, another
+        session). The pair is still VERIFIED by the same submap alignment +
+        fitness gate as distance-detected candidates — the reference likewise
+        runs external pairs through its ICP check before adding the factor.
+        Returns True when the edge was accepted and poses were corrected."""
+        n = int(self.state.bank.count)
+        if not (0 <= cand < n and 0 <= cur < n) or cur == cand:
+            return False
+        return self._try_close_loop(jnp.int32(cand), cur=jnp.int32(cur))
 
     def trajectory(self):
         import numpy as np

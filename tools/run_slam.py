@@ -88,6 +88,10 @@ def main() -> int:
     ap.add_argument("--gps-cov-thresh", type=float, default=2.0,
                     help="skip GPS fixes whose position covariance exceeds "
                          "this (LIO-SAM gpsCovThreshold)")
+    ap.add_argument("--imu-mode", type=int, default=2, choices=[0, 1, 2],
+                    help="livox engine IMU mode (horizon.launch:10-11): "
+                         "0 = LiDAR-only, 1 = gyro deskew only, "
+                         "2 = tightly-coupled window LIO")
     ap.add_argument("--rings", type=int, default=None,
                     help="grid rows for bag feature engines (default 16, or "
                          "6 for livox CustomMsg)")
@@ -119,6 +123,12 @@ def main() -> int:
                          "TransformFusion 200-500 Hz output): liosam engine "
                          "via the fused ESKF re-predict, odom/slam engines "
                          "via gyro-track + constant-velocity fusion")
+    ap.add_argument("--loop-pairs",
+                    help="file of externally supplied loop candidates, one "
+                         "'cur_kf cand_kf' keyframe-index pair per line "
+                         "(detectLoopClosureExternal analog; slam engine). "
+                         "Pairs are verified by submap alignment before the "
+                         "edge is added, then applied at end of stream")
     ap.add_argument("--viz", help="render trajectory/metrics PNG after the run")
     ap.add_argument("--slam", action="store_true",
                     help="full SLAM (keyframes + loop closure) instead of odometry")
@@ -254,6 +264,7 @@ def main() -> int:
             metrics.log_scan(n, res, (time.perf_counter() - t0) * 1e3)
             n += 1
         driver.finalize()
+        _apply_loop_pairs(args, driver)
         state = driver.state.engine
         print(f"loops closed: {driver.n_loops_closed}")
     else:
@@ -306,6 +317,25 @@ def main() -> int:
     metrics.close()
     _maybe_viz(args)
     return _gate_exit(args, summary)
+
+
+def _apply_loop_pairs(args, driver):
+    """Feed externally supplied loop candidates (--loop-pairs) through the
+    driver's verification path (detectLoopClosureExternal analog)."""
+    if not getattr(args, "loop_pairs", None) or driver is None:
+        return
+    if not hasattr(driver, "close_loop_external"):
+        print("--loop-pairs: engine has no external loop entry point")
+        return
+    n_ok = n_all = 0
+    with open(args.loop_pairs) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2 and not line.lstrip().startswith("#"):
+                n_all += 1
+                if driver.close_loop_external(int(parts[0]), int(parts[1])):
+                    n_ok += 1
+    print(f"external loop pairs: {n_ok}/{n_all} accepted")
 
 
 def _slam_cfg(preset: str, pcfg):
@@ -479,6 +509,10 @@ def _run_bag(args) -> int:
             cfg = livox_config_horizon_ref()
         else:
             cfg = LivoxConfig()
+        if args.imu_mode != 2:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, imu_mode=args.imu_mode)
         rings = args.rings or 6
         driver = LivoxDriver(cfg)
         for b in stream:
@@ -621,6 +655,7 @@ def _run_bag(args) -> int:
                 break
         if driver is not None:
             driver.finalize()
+            _apply_loop_pairs(args, driver)
         final_state = driver.state.engine if driver is not None else state
         if args.imu_rate_out and imu_rate_acc:
             qs = np.stack([np.asarray(q) for q, p, m in imu_rate_acc])
