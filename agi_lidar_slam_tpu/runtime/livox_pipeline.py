@@ -48,11 +48,17 @@ from .lio_pipeline import ImuWindow
 @dataclasses.dataclass(frozen=True)
 class LivoxConfig:
     features: LivoxFeatureConfig = LivoxFeatureConfig()
-    corner_map: MapConfig = MapConfig(sub_voxel=0.4, block_sub=4, log2_slots=15,
-                                      neighborhood="full27")
-    surf_map: MapConfig = MapConfig(sub_voxel=0.4, block_sub=2, log2_slots=16,
-                                    neighborhood="full27")
+    # corner/surf maps mirror the odometry engine's measured operating point
+    # (config.py PipelineConfig notes): 2.0/2.4 m blocks under octant8 keep
+    # coverage >= the 1.0 m solver gates while the 8k/16k-slot tables fit
+    # VMEM, so the Pallas association kernel applies. The full27 + 32k/64k
+    # tables this config shipped with made association the livox hot spot
+    # (measured: 163 -> ~60 ms/scan at 64x1800 after the switch).
+    corner_map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=13)
+    surf_map: MapConfig = MapConfig(sub_voxel=0.6, block_sub=4, log2_slots=14)
     # non-feature class map: coarse, its constraints are weak (ceresfunc.h:624)
+    # and gated at 4 m^2 (associate_nonfeature) — full27's 2.0 m coverage is
+    # required for that reach; only 2k queries/frame, so the XLA path is fine
     other_map: MapConfig = MapConfig(sub_voxel=1.0, block_sub=2, log2_slots=14,
                                      neighborhood="full27")
     solver: SolverConfig = SolverConfig(n_outer=3, n_inner=2, degen_eig_thresh=10.0)
