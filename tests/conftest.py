@@ -13,15 +13,36 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import platform  # noqa: E402
+
 import jax  # noqa: E402
 import jax._src.xla_bridge as _xb  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the suite spends >10 CPU-minutes compiling the
 # big jitted pipelines; cache them across runs (keyed by HLO hash, so code
-# changes invalidate naturally)
+# changes invalidate naturally). The directory is keyed by the host CPU model:
+# XLA:CPU AOT results compiled on one microarchitecture load on another with a
+# feature-mismatch warning and OCCASIONALLY WRONG NUMERICS (observed: one
+# borderline GN test flipping per suite run, different test each time, with
+# cpu_aot_loader machine-feature errors in the log) — this container migrates
+# between machine types, so a shared cache dir poisons runs.
+def _cpu_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return platform.processor() or "unknown"
+
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+                  os.path.join(os.path.dirname(__file__),
+                               f".jax_cache-{_cpu_tag()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 # drop only the axon plugin: the stock 'tpu' factory must stay registered so
