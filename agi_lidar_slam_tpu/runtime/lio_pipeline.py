@@ -32,7 +32,14 @@ from ..pointcloud.voxel import voxel_downsample
 class LioConfig(NamedTuple):
     """Static config (hashable, closed over by jit)."""
 
-    map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=17)
+    # 2.0 m blocks, octant8, 16k slots: the table fits VMEM so the Pallas
+    # association kernel runs the IESKF's 5-NN (the dominant stage — 43 of
+    # 80 ms/scan went to update_iterated on the 128k-slot XLA path). 16k
+    # slots hold a ~80 m-range rolling surface map at ~30% load; overflow
+    # inserts are counted in LioResult.n_dropped. The avia parity preset
+    # (presets.lio_config_avia_ref) keeps a big full27 table instead: its
+    # 450 m det_range needs the capacity more than the kernel.
+    map: MapConfig = MapConfig(sub_voxel=0.5, block_sub=4, log2_slots=14)
     ieskf: IeskfConfig = IeskfConfig()
     noise: EskfNoise = EskfNoise()
     scan_voxel: float = 0.5  # filter_size_surf (laserMapping.cpp:621)
