@@ -272,7 +272,8 @@ class LioSamDriver:
     Backend machinery shared with `slam_pipeline.SlamDriver` (sync-free)."""
 
     def __init__(self, cfg: LioSamConfig, x0: se3.Pose | None = None,
-                 v0: jnp.ndarray | None = None, grav: jnp.ndarray | None = None):
+                 v0: jnp.ndarray | None = None, grav: jnp.ndarray | None = None,
+                 emit_imu_rate: bool = False):
         from ..graph.keyframes import empty_bank
         from ..graph.pose_graph import empty_edges
 
@@ -284,7 +285,12 @@ class LioSamDriver:
         self.last_kf = jnp.int32(0)
         self.n_loops_closed = 0
         self.host_frame = 0
+        # the IMU-rate stream is opt-in, like the reference's publishers that
+        # gate work on subscriber count (utility.h:328): the extra per-scan
+        # launch costs ~5 ms of dispatch through the tunneled backend
+        self.emit_imu_rate = emit_imu_rate
         self.imu_rate_out: list = []  # (qs, ps, mask) per scan, consumed by callers
+        self._pending = None  # in-flight (found, cand) loop detection
 
     def process(self, scan: ScanGrid, imu: ImuWindow,
                 gps: Optional[jnp.ndarray] = None) -> LioSamResult:
@@ -292,8 +298,9 @@ class LioSamDriver:
         # high-rate output for the interval we are about to consume, predicted
         # from the latest fused state (what a robot steers by between scans)
         st = self.state
-        self.imu_rate_out.append(imu_rate_poses(
-            st.engine.pose, st.v, st.bg, st.ba, st.grav, imu))
+        if self.emit_imu_rate:
+            self.imu_rate_out.append(imu_rate_poses(
+                st.engine.pose, st.v, st.bg, st.ba, st.grav, imu))
 
         self.state, res = process_liosam_scan(st, scan, imu, cfg)
         sres = ScanResult(res.pose, res.stats, res.corners, res.surfs, res.n_dropped)
@@ -306,18 +313,40 @@ class LioSamDriver:
                                    added, cfg.slam)
 
         self.host_frame += 1
+        # async loop-detection cadence (same pattern as SlamDriver.process):
+        # read LAST tick's detection flag — its host copy finished scans ago,
+        # so the dispatch queue never stalls on a blocking ~20 ms fetch
+        if self._pending is not None:
+            p_found, p_cand = self._pending
+            self._pending = None
+            if bool(p_found):
+                self._close_loop(p_cand)
         if self.host_frame % cfg.slam.loop_every == 0:
-            self._try_close_loop()
+            cand, found = _detect_step(self.bank, cfg.slam)
+            for a in (found, cand):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            self._pending = (found, cand)
         return res
 
+    def finalize(self) -> None:
+        """Drain the in-flight loop detection (end of stream)."""
+        if self._pending is not None:
+            p_found, p_cand = self._pending
+            self._pending = None
+            if bool(p_found):
+                self._close_loop(p_cand)
+
     def _try_close_loop(self):
-        # cheap pose-radius detection first; the alignment program (windowed
-        # submap insert + GN) only runs against a real candidate
+        # synchronous detect + align (used by finalize-style callers/tests)
         cfg = self.cfg.slam
-        cur = jnp.maximum(self.bank.count - 1, 0)
         cand, found = _detect_step(self.bank, cfg)
         if not bool(found):
             return
+        self._close_loop(cand)
+
+    def _close_loop(self, cand):
+        cfg = self.cfg.slam
         edges2, accept, fitness = _align_step(self.bank, self.edges, cand, cfg)
         if bool(accept):
             bank2, engine2 = _correct_and_rebuild(

@@ -48,7 +48,8 @@ def make_cfg(loop_every=1000):
 def run_circle(cfg, omega, n_frames, world_seed=21, deskew_motion=True):
     world = default_world(seed=world_seed)
     x0 = circle_pose(0.0, RADIUS, omega)
-    driver = LioSamDriver(cfg, x0=x0, v0=circle_velocity(0.0, RADIUS, omega))
+    driver = LioSamDriver(cfg, x0=x0, v0=circle_velocity(0.0, RADIUS, omega),
+                          emit_imu_rate=True)
     errs, gts = [], []
     for i in range(n_frames):
         t0, t1 = i * DT, (i + 1) * DT
@@ -63,6 +64,7 @@ def run_circle(cfg, omega, n_frames, world_seed=21, deskew_motion=True):
         res = driver.process(scan, win)
         errs.append(float(jnp.linalg.norm(res.pose.t - p1.t)))
         gts.append(np.asarray(p1.t))
+    driver.finalize()  # drain the in-flight loop detection
     return driver, errs, np.stack(gts)
 
 

@@ -539,7 +539,7 @@ def _run_bag(args) -> int:
         else:
             cfg = LioSamConfig(slam=_slam_cfg(args.preset, pcfg))
         rings = args.rings or 16
-        driver = LioSamDriver(cfg)
+        driver = LioSamDriver(cfg, emit_imu_rate=bool(args.imu_rate_out))
         for b in stream:
             grid = bundle_to_grid(b, rings, args.width, args.fov_up, args.fov_down)
             with timer.stage("scan"):
@@ -549,6 +549,7 @@ def _run_bag(args) -> int:
             n += 1
             if args.max_scans and n >= args.max_scans:
                 break
+        driver.finalize()
         final_state = driver.state.engine
         if args.imu_rate_out:
             qs = np.stack([np.asarray(q) for q, p, m in driver.imu_rate_out])
