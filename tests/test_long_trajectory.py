@@ -97,3 +97,47 @@ def test_long_trajectory_lego_two_step(loop_scans):
     assert drift_pct < 8.0, f"lego drift {drift_pct:.2f}% of {path:.0f} m"
     q = n // 4
     assert err[-q:].mean() < 3.0 * max(err.mean(), 0.05)
+
+
+@pytest.mark.nightly
+def test_city_drive_kitti_drift_gated():
+    """Nightly: a multi-lap city-block drive gated in the OFFICIAL KITTI
+    per-segment drift units (eval/metrics.kitti_drift) — the CPU-scale
+    companion of the 1000-scan HDL-64 TPU run
+    (`run_slam.py --sim --world city --frames 1000 --sim-rings 64
+      --sim-width 1800 --slam --gate ...`, PARITY.md round-3 notes).
+    Full SLAM: keyframes + loop closures across laps."""
+    import dataclasses
+
+    from agi_lidar_slam_tpu.eval.metrics import kitti_drift
+    from agi_lidar_slam_tpu.geometry import se3
+    from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig, SlamDriver
+    from agi_lidar_slam_tpu.sim.trajectory import square_loop_pose
+    from agi_lidar_slam_tpu.sim.world import city_world, simulate_scan
+
+    frames, ds = 360, 0.35  # ~126 m of path = 1.2 laps of the block
+    world = city_world(seed=0)
+    cfg = SlamConfig(pipeline=dataclasses.replace(preset_sim16()),
+                     kf_dist=1.0, loop_every=10)
+    driver = SlamDriver(cfg)
+    inv0 = se3.inverse(square_loop_pose(0.0, side=18.0, corner=4.0))
+    est, est_q, gt, gt_q = [], [], [], []
+    for i in range(frames):
+        p0 = square_loop_pose(i * ds, side=18.0, corner=4.0)
+        p1 = square_loop_pose((i + 1) * ds, side=18.0, corner=4.0)
+        scan = simulate_scan(world, p0, p1, rings=16, width=900,
+                             noise_std=0.005, seed=i)
+        res = driver.process(scan)
+        est.append(np.asarray(res.pose.t))
+        est_q.append(np.asarray(res.pose.q)[[1, 2, 3, 0]])
+        g = se3.compose(inv0, p0)
+        gt.append(np.asarray(g.t))
+        gt_q.append(np.asarray(g.q)[[1, 2, 3, 0]])
+    driver.finalize()
+    d = kitti_drift(np.stack(est), np.stack(gt), est_q=np.stack(est_q),
+                    gt_q=np.stack(gt_q), lengths=(50.0, 100.0), step=10)
+    assert d["n_segments"] >= 10, d
+    # envelope: A-LOAM class is 0.55-0.8% on real KITTI; the simulator is
+    # cleaner, so gate at 1.0% translational / 0.01 deg/m rotational
+    assert d["t_rel_pct"] < 1.0, d
+    assert d["r_deg_per_m"] < 0.01, d
