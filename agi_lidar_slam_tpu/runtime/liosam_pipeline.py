@@ -41,6 +41,7 @@ from ..pointcloud.cloud import PointBatch, ScanGrid
 from ..pointcloud.voxel import voxel_downsample
 from .lio_pipeline import ImuWindow
 from .pipeline import EngineState, ScanResult, init_state
+from ..graph.loop_closure import detect_loop
 from .slam_pipeline import (
     SlamConfig,
     _align_step,
@@ -49,6 +50,7 @@ from .slam_pipeline import (
     _gps_edge,
     _gps_fix,
     _keyframe_step,
+    _keyframe_step_body,
 )
 
 
@@ -266,6 +268,23 @@ def imu_rate_poses(pose: se3.Pose, v: jnp.ndarray, bg: jnp.ndarray,
     return qs, ps, imu.mask
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("state", "bank", "edges"))
+def _liosam_fused_step(state: LioSamState, bank, edges, last_kf,
+                       scan: ScanGrid, imu: ImuWindow, cfg: LioSamConfig):
+    """One fused per-scan program (the liosam analog of _slam_step):
+    IMU-coupled scan step + keyframe gate/edge insert + loop DETECTION.
+    One XLA launch per scan instead of three."""
+    new_state, res = process_liosam_scan(state, scan, imu, cfg)
+    sres = ScanResult(res.pose, res.stats, res.corners, res.surfs,
+                      res.n_dropped)
+    bank2, edges2, last2, added = _keyframe_step_body(
+        bank, edges, last_kf, sres, new_state.engine.frame, cfg.slam)
+    cur = jnp.maximum(bank2.count - 1, 0)
+    cand, found = detect_loop(bank2, cur, cfg.slam.loop)
+    return new_state, res, bank2, edges2, last2, added, cand, found
+
+
 class LioSamDriver:
     """The full LIO-SAM pipeline driver: tightly-coupled scan step + keyframe
     factor graph + loop closure + GPS, with an IMU-rate pose output per scan.
@@ -302,11 +321,9 @@ class LioSamDriver:
             self.imu_rate_out.append(imu_rate_poses(
                 st.engine.pose, st.v, st.bg, st.ba, st.grav, imu))
 
-        self.state, res = process_liosam_scan(st, scan, imu, cfg)
-        sres = ScanResult(res.pose, res.stats, res.corners, res.surfs, res.n_dropped)
-        self.bank, self.edges, self.last_kf, added = _keyframe_step(
-            self.bank, self.edges, self.last_kf, sres,
-            self.state.engine.frame, cfg.slam)
+        (self.state, res, self.bank, self.edges, self.last_kf, added,
+         cand, found) = _liosam_fused_step(
+            st, self.bank, self.edges, self.last_kf, scan, imu, cfg)
         if gps is not None:
             pos, w = _gps_fix(gps, cfg.slam)
             self.edges = _gps_edge(self.bank, self.edges, pos, w,
@@ -322,7 +339,6 @@ class LioSamDriver:
             if bool(p_found):
                 self._close_loop(p_cand)
         if self.host_frame % cfg.slam.loop_every == 0:
-            cand, found = _detect_step(self.bank, cfg.slam)
             for a in (found, cand):
                 if hasattr(a, "copy_to_host_async"):
                     a.copy_to_host_async()
