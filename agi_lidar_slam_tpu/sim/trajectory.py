@@ -89,3 +89,31 @@ def square_loop_pose(s, side: float, corner: float = 4.0) -> se3.Pose:
     q = so3.quat_exp(jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw],
                                axis=-1))
     return se3.Pose(q, p)
+
+
+def square_loop_imu(t, side: float, corner: float = 4.0, speed: float = 3.5):
+    """Exact IMU for square_loop_pose driven at constant speed: zero body
+    rates on the straights, yaw rate v/r and centripetal v^2/r on the
+    rounded corners. Piecewise-constant (discontinuous at segment joins,
+    like a real vehicle's steering input). t scalar or (...,) seconds;
+    arc length s = speed * t."""
+    t = jnp.asarray(t, dtype=jnp.float32)
+    s = jnp.mod(speed * t, 4.0 * (side + 0.5 * jnp.pi * corner))
+    leg = side + 0.5 * jnp.pi * corner
+    u = s - jnp.floor(s / leg) * leg
+    on_corner = u >= side
+    w = jnp.where(on_corner, speed / corner, 0.0)
+    a_lat = jnp.where(on_corner, speed**2 / corner, 0.0)
+    zeros = jnp.zeros_like(t)
+    gyro = jnp.stack([zeros, zeros, w], axis=-1)
+    acc = jnp.stack([zeros, a_lat, jnp.full_like(t, G)], axis=-1)
+    return gyro, acc
+
+
+def straight_imu(t, speed: float = 3.5):
+    """Exact IMU for a constant-velocity straight drive (corridor world)."""
+    t = jnp.asarray(t, dtype=jnp.float32)
+    zeros = jnp.zeros_like(t)
+    gyro = jnp.stack([zeros, zeros, zeros], axis=-1)
+    acc = jnp.stack([zeros, zeros, jnp.full_like(t, G)], axis=-1)
+    return gyro, acc

@@ -149,6 +149,9 @@ def main() -> int:
         ap.error("--preset avia-ref is the --engine lio (IESKF) preset")
     if args.preset == "horizon-ref" and args.engine != "livox":
         ap.error("--preset horizon-ref is the --engine livox preset")
+    if args.engine in ("lio", "liosam", "livox") and args.kitti:
+        ap.error("the IMU-coupled engines need --bag (recorded IMU) or "
+                 "--sim (exact analytic IMU); KITTI odometry has no IMU")
 
     if args.bag:
         return _run_bag(args)
@@ -192,6 +195,7 @@ def main() -> int:
 
         ds = 0.35  # metres per frame (3.5 m/s at 10 Hz)
         scan_period = 0.1
+        imu_engine = args.engine in ("lio", "liosam", "livox")
         if args.world == "city":
             world = city_world(seed=0)  # street centerlines at +-13 m
             if args.movers:
@@ -214,16 +218,45 @@ def main() -> int:
             world = default_world(seed=0)
             if args.movers:
                 world = with_movers(world, n=args.movers)
-            _arc = []
-            q, t = so3.quat_identity(), jnp.zeros(3)
-            for _ in range(args.frames + 1):
-                _arc.append(se3.Pose(q, t))
-                q = so3.quat_normalize(
-                    so3.quat_mul(q, so3.quat_exp(jnp.asarray([0, 0, 0.03]))))
-                t = t + so3.quat_rotate(q, jnp.asarray([ds, 0.0, 0.0]))
+            if imu_engine:
+                # the arc trajectory has no closed-form IMU; IMU engines get
+                # the exact circle instead (same 3.5 m/s)
+                from agi_lidar_slam_tpu.sim.trajectory import circle_pose
 
-            def pose_at(i):
-                return _arc[i]
+                _R, _OM = 8.0, 0.4375
+
+                def pose_at(i):
+                    return circle_pose(i * scan_period, _R, _OM)
+            else:
+                _arc = []
+                q, t = so3.quat_identity(), jnp.zeros(3)
+                for _ in range(args.frames + 1):
+                    _arc.append(se3.Pose(q, t))
+                    q = so3.quat_normalize(
+                        so3.quat_mul(q, so3.quat_exp(jnp.asarray([0, 0, 0.03]))))
+                    t = t + so3.quat_rotate(q, jnp.asarray([ds, 0.0, 0.0]))
+
+                def pose_at(i):
+                    return _arc[i]
+
+        def imu_at(i, m=20):
+            """Exact IMU window covering frame i (body rates + specific
+            force from the analytic trajectory of the chosen world)."""
+            from agi_lidar_slam_tpu.runtime.lio_pipeline import ImuWindow
+            from agi_lidar_slam_tpu.sim.trajectory import (circle_imu,
+                                                           square_loop_imu,
+                                                           straight_imu)
+
+            ts = (i + (jnp.arange(m) + 0.5) / m) * scan_period
+            if args.world == "city":
+                gy, ac = square_loop_imu(ts, side=18.0, corner=4.0,
+                                         speed=ds / scan_period)
+            elif args.world == "corridor":
+                gy, ac = straight_imu(ts, speed=ds / scan_period)
+            else:
+                gy, ac = circle_imu(ts, _R, _OM)
+            return ImuWindow(gy, ac, jnp.full((m,), scan_period / m),
+                             jnp.ones((m,), bool))
 
         poses, scan_list = [], []
         inv0 = se3.inverse(pose_at(0))  # engines start at identity: rebase GT
@@ -234,10 +267,15 @@ def main() -> int:
                               width=args.sim_width, noise_std=0.005, seed=i,
                               t0=i * scan_period, scan_period=scan_period)
             )
-            poses.append(se3.compose(inv0, p))
+            # IMU engines estimate the sweep-END pose (deskew-to-end); the
+            # feature engines estimate the sweep START
+            poses.append(se3.compose(inv0, nxt if imu_engine else p))
         scans = scan_list
         gt_positions = np.stack([np.asarray(p.t) for p in poses])
         gt_quats = np.stack([np.asarray(p.q)[[1, 2, 3, 0]] for p in poses])
+        if imu_engine:
+            return _run_sim_imu(args, scans, imu_at, gt_positions, gt_quats,
+                                scan_period)
         if args.preset == "aloam" and args.sim_rings < 32:
             cfg = _pipeline_cfg("sim16")
     else:
@@ -316,6 +354,113 @@ def main() -> int:
         print("maps written:", args.save_map)
     metrics.close()
     _maybe_viz(args)
+    return _gate_exit(args, summary)
+
+
+def _run_sim_imu(args, scans, imu_at, gt_positions, gt_quats,
+                 scan_period) -> int:
+    """Drive the IMU-coupled engines (lio/liosam/livox) on the simulator with
+    exact analytic IMU — the no-dataset analog of the bag path, so the full
+    gate pack covers all five engines with one command, e.g.
+      run_slam.py --sim --engine lio --preset avia-ref --gate ate_m=0.3
+    """
+    import jax.numpy as jnp
+
+    from agi_lidar_slam_tpu.eval.metrics import ate_rmse, kitti_drift
+    from agi_lidar_slam_tpu.runtime.metrics import MetricsWriter, StageTimer
+
+    metrics = MetricsWriter(args.metrics)
+    timer = StageTimer()
+    est, est_q = [], []
+    v0 = jnp.asarray([0.35 / scan_period, 0.0, 0.0])  # all worlds start +x
+
+    if args.engine == "lio":
+        from agi_lidar_slam_tpu.imu.eskf import NavState
+        from agi_lidar_slam_tpu.runtime.lio_pipeline import (
+            LioConfig, init_lio_state, process_lio_scan)
+
+        if args.preset == "avia-ref":
+            from agi_lidar_slam_tpu.presets import lio_config_avia_ref
+
+            cfg = lio_config_avia_ref()
+        else:
+            cfg = LioConfig()
+        state = init_lio_state(cfg, NavState.identity()._replace(v=v0))
+        for i, scan in enumerate(scans):
+            pts = scan.xyz.reshape(-1, 3)
+            tt = (scan.time * scan_period).reshape(-1).astype(jnp.float32)
+            mm = scan.mask.reshape(-1)
+            with timer.stage("scan"):
+                state, res = process_lio_scan(state, pts, tt, mm,
+                                              imu_at(i), cfg)
+            est.append(np.asarray(res.x.p))
+            est_q.append(np.asarray(res.x.q)[[1, 2, 3, 0]])
+            metrics.log_scan(i, res, timer.last_ms)
+    elif args.engine == "liosam":
+        from agi_lidar_slam_tpu.runtime.liosam_pipeline import (LioSamConfig,
+                                                                LioSamDriver)
+
+        pname = args.preset
+        if pname == "aloam" and args.sim_rings < 32:
+            pname = "sim16"  # same fallback as the feature-engine sim path
+        cfg = LioSamConfig(slam=_slam_cfg(pname, _pipeline_cfg(pname)),
+                           scan_period=scan_period)
+        driver = LioSamDriver(cfg, v0=v0,
+                              emit_imu_rate=bool(args.imu_rate_out))
+        for i, scan in enumerate(scans):
+            with timer.stage("scan"):
+                res = driver.process(scan, imu_at(i))
+            est.append(np.asarray(res.pose.t))
+            est_q.append(np.asarray(res.pose.q)[[1, 2, 3, 0]])
+            metrics.log_scan(i, res, timer.last_ms)
+        driver.finalize()
+        print(f"loops closed: {driver.n_loops_closed}")
+    else:  # livox
+        import dataclasses as _dc
+
+        from agi_lidar_slam_tpu.runtime.livox_pipeline import (LivoxConfig,
+                                                               LivoxDriver)
+
+        if args.preset == "horizon-ref":
+            from agi_lidar_slam_tpu.presets import livox_config_horizon_ref
+
+            cfg = livox_config_horizon_ref()
+        else:
+            cfg = LivoxConfig()
+        if args.imu_mode != 2:
+            cfg = _dc.replace(cfg, imu_mode=args.imu_mode)
+        driver = LivoxDriver(cfg, init_frames=max(4, min(10, args.frames // 3)))
+        for i, scan in enumerate(scans):
+            with timer.stage("scan"):
+                res = driver.process(scan, imu_at(i))
+            est.append(np.asarray(res.pose.t))
+            est_q.append(np.asarray(res.pose.q)[[1, 2, 3, 0]])
+            metrics.log_scan(i, res, timer.last_ms)
+
+    n = len(est)
+    wall = timer.summary()["scan"]["total_s"]
+    est = np.stack(est)
+    print(f"processed {n} scans in {wall:.2f}s ({n / wall:.2f} scans/s)")
+    print("stage timing:", timer.summary())
+    summary = {"n_scans": n, "scans_per_s": n / wall}
+    err = ate_rmse(est, gt_positions[:n])
+    err_na = ate_rmse(est, gt_positions[:n], align=False)
+    print(f"ATE RMSE: {err:.3f} m (aligned), {err_na:.3f} m (raw)")
+    summary.update(ate_m=err, ate_raw_m=err_na)
+    d = kitti_drift(est, gt_positions[:n], est_q=np.stack(est_q),
+                    gt_q=gt_quats[:n])
+    if d["n_segments"]:
+        print(f"KITTI drift: {d['t_rel_pct']:.3f}% translational, "
+              f"{d['r_deg_per_m']:.5f} deg/m rotational")
+        summary.update(t_rel_pct=d["t_rel_pct"], r_deg_per_m=d["r_deg_per_m"])
+    if args.traj_out:
+        with open(args.traj_out, "w") as f:
+            for p in est:
+                M = np.eye(4)
+                M[:3, 3] = p
+                f.write(" ".join(f"{v:.6e}" for v in M[:3].reshape(-1)) + "\n")
+        print("trajectory written:", args.traj_out)
+    metrics.close()
     return _gate_exit(args, summary)
 
 
