@@ -30,6 +30,15 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU with 8 virtual devices")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: hold PER-DEVICE work constant by "
+                         "growing the point budget with the device count. On "
+                         "a real slice, perfect scaling = flat time. On "
+                         "virtual CPU devices the TOTAL work grows n-fold "
+                         "over fixed cores, so the interpretable quantity is "
+                         "t_n / (n * t_1) ~= per-device-program-time ratio — "
+                         "the number strong-scaling wall time cannot give "
+                         "when devices share cores")
     args = ap.parse_args()
 
     if args.cpu:
@@ -62,14 +71,21 @@ def main() -> int:
     cmap = insert(empty_map(cfg.corner_map), corners.xyz, corners.mask, cfg.corner_map)
     smap = insert(empty_map(cfg.surf_map), surfs.xyz, surfs.mask, cfg.surf_map)
 
+    from agi_lidar_slam_tpu.pointcloud.cloud import PointBatch
+
+    def tile_n(pb, n):
+        # n copies of every point: per-device shard == the 1-device problem.
+        # GN is invariant to duplicating all points (H and g both scale by n)
+        return PointBatch(jnp.tile(pb.xyz, (n, 1)), jnp.tile(pb.mask, (n,)))
+
     all_devs = jax.devices()
     n_max = args.devices or len(all_devs)
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_max]
     results = {}
     for n in counts:
         mesh = Mesh(all_devs[:n], axis_names=("dp",))
-        c = replicate(corners, mesh)
-        s = replicate(surfs, mesh)
+        c = replicate(tile_n(corners, n) if args.weak else corners, mesh)
+        s = replicate(tile_n(surfs, n) if args.weak else surfs, mesh)
         cm = replicate(cmap, mesh)
         sm = replicate(smap, mesh)
         p0 = replicate(p, mesh)
@@ -91,13 +107,28 @@ def main() -> int:
     if len(results) > 1:
         base = results[counts[0]]
         last = counts[-1]
-        eff = (base / results[last]) / (last / counts[0])
-        print(json.dumps({
-            "metric": "gn_scaling_efficiency",
-            "value": round(eff, 3),
-            "from_devices": counts[0], "to_devices": last,
-            "note": "virtual-CPU devices share cores; real-slice numbers are higher",
-        }))
+        if args.weak:
+            # perfect weak scaling = flat time (real slice); on virtual CPU
+            # devices the honest per-device-program-time ratio divides out
+            # the n-fold total work squeezed onto fixed cores
+            print(json.dumps({
+                "metric": "gn_weak_scaling_flatness",
+                "value": round(base / results[last], 3),
+                "per_device_time_ratio_virtual":
+                    round(results[last] / (last * base), 3),
+                "from_devices": counts[0], "to_devices": last,
+                "note": "flatness ~1.0 = perfect on a real slice; on virtual "
+                        "CPU devices use per_device_time_ratio_virtual "
+                        "(~1.0 = no per-device overhead growth)",
+            }))
+        else:
+            eff = (base / results[last]) / (last / counts[0])
+            print(json.dumps({
+                "metric": "gn_scaling_efficiency",
+                "value": round(eff, 3),
+                "from_devices": counts[0], "to_devices": last,
+                "note": "virtual-CPU devices share cores; real-slice numbers are higher",
+            }))
     return 0
 
 
