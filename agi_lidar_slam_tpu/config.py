@@ -81,6 +81,21 @@ class SolverConfig:
     n_outer: int = 2  # association passes (reference: A-LOAM 2, LIO-SAM ~30)
     n_inner: int = 4  # GN re-linearizations per association (A-LOAM: 4 LM iters)
     k_neighbors: int = 5
+    # candidate-cache association: the first pass probes the map for cand_k
+    # candidates per feature; later outer passes re-rank that cached list at
+    # the updated pose (nn/knn.knn_reselect) instead of re-probing — the
+    # cand_k - k margin absorbs the cm-scale inter-iteration pose motion.
+    # 0 disables (every outer pass re-probes, the reference's behavior).
+    # Measured (v5e, 8192 queries, 16k-slot table): probe C=8 3.9 ms vs
+    # C=16 5.8 ms vs k=5 3.2 ms; reselect ~0.7 ms — C=8 wins at n_outer=2.
+    cand_k: int = 8
+    # cache "skin distance" (MD neighbor-list style): re-probe the map when
+    # the pose has moved more than this since the cached probe (effective
+    # motion = |dt| + 30 m lever arm * |dtheta|). Steady-state solves never
+    # trip it (mm-cm inter-iteration motion); cold starts / bad initial
+    # guesses (decimeter first steps) re-probe instead of re-ranking a stale
+    # neighborhood. lax.cond: only the taken branch executes on TPU.
+    cand_refresh: float = 0.3
     corner_gate_sq: float = 1.0  # max sq dist of k-th corner neighbor (m^2)
     surf_gate_sq: float = 1.0
     line_eig_ratio: float = 3.0  # lambda_max > ratio * lambda_mid -> line OK

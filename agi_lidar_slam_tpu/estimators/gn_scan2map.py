@@ -33,7 +33,8 @@ from ..fit.geometry_fit import fit_lines, fit_planes
 from ..geometry import se3, so3
 from ..map.hash_map import HashVoxelMap
 from ..map.planar import build_planar
-from ..nn.knn import _vmem_kernel_mode, knn
+from ..nn.knn import (_vmem_kernel_mode, knn, knn_cand, knn_reselect,
+                      make_cand)
 from ..pointcloud.cloud import PointBatch
 
 
@@ -102,6 +103,76 @@ def associate(
 
     return Correspondences(line.centroid, line.direction, ok_c,
                            plane.normal, plane.offset, ok_s)
+
+
+def _cache_motion(pose: se3.Pose, q_ref: jnp.ndarray, t_ref: jnp.ndarray,
+                  lever: float = 30.0) -> jnp.ndarray:
+    """Effective motion since a cached probe: |dt| + lever * |dtheta| (the
+    worst-case query displacement at `lever` meters range)."""
+    dth = so3.quat_log(so3.quat_mul(so3.quat_conj(q_ref), pose.q))
+    return jnp.linalg.norm(pose.t - t_ref) + lever * jnp.linalg.norm(dth)
+
+
+def associate_cached(
+    pose: se3.Pose,
+    corners: PointBatch,
+    surfs: PointBatch,
+    corner_map: HashVoxelMap,
+    surf_map: HashVoxelMap,
+    cmap_cfg: MapConfig,
+    smap_cfg: MapConfig,
+    cfg: SolverConfig,
+    cand: tuple | None = None,
+    corner_tab: jnp.ndarray | None = None,
+    surf_tab: jnp.ndarray | None = None,
+    knn_fn=None,
+) -> tuple[Correspondences, tuple]:
+    """Association with a candidate cache (SolverConfig.cand_k).
+
+    First call (cand=None): ONE map probe per class for cand_k candidates,
+    returned as the cache (plus the probe pose). Later calls re-rank the
+    cached world-frame candidate points at the updated pose (knn_reselect) —
+    no table traffic — unless the pose moved more than SolverConfig.
+    cand_refresh since the probe, in which case a lax.cond re-probes (the
+    neighbor-list "skin distance": protects cold starts and bad initial
+    guesses). Fits/gates are identical to `associate`."""
+    R = so3.quat_to_matrix(pose.q)
+    k = cfg.k_neighbors
+
+    cw = corners.xyz @ R.T + pose.t
+    sw = surfs.xyz @ R.T + pose.t
+
+    def probe():
+        if knn_fn is None:
+            return (
+                knn_cand(corner_map, cw, corners.mask, cfg.cand_k, cmap_cfg, tab=corner_tab),
+                knn_cand(surf_map, sw, surfs.mask, cfg.cand_k, smap_cfg, tab=surf_tab),
+                pose.q, pose.t,
+            )
+        return (
+            make_cand(knn_fn(corner_map, cw, corners.mask, cfg.cand_k, cmap_cfg, tab=corner_tab)),
+            make_cand(knn_fn(surf_map, sw, surfs.mask, cfg.cand_k, smap_cfg, tab=surf_tab)),
+            pose.q, pose.t,
+        )
+
+    if cand is None:
+        cand = probe()
+    else:
+        moved = _cache_motion(pose, cand[2], cand[3])
+        cand = jax.lax.cond(moved > cfg.cand_refresh, probe, lambda: cand)
+    nc = knn_reselect(cand[0], cw, corners.mask, k)
+    gate_c = nc.sq_dists[:, k - 1] < cfg.corner_gate_sq
+    line = fit_lines(nc.points, nc.valid, cfg.line_eig_ratio)
+    ok_c = corners.mask & gate_c & line.ok
+
+    ns = knn_reselect(cand[1], sw, surfs.mask, k)
+    gate_s = ns.sq_dists[:, k - 1] < cfg.surf_gate_sq
+    plane = fit_planes(ns.points, ns.valid, cfg.plane_tol)
+    ok_s = surfs.mask & gate_s & plane.ok
+
+    corr = Correspondences(line.centroid, line.direction, ok_c,
+                           plane.normal, plane.offset, ok_s)
+    return corr, cand
 
 
 def normal_equations(
@@ -208,24 +279,38 @@ def solve_scan2map(
     """
     corner_tab = _maybe_tab(corner_map, cmap_cfg) if knn_fn is None else None
     surf_tab = _maybe_tab(surf_map, smap_cfg) if knn_fn is None else None
+    use_cache = cfg.cand_k >= cfg.k_neighbors
 
     def allsum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    def outer(_, carry):
-        pose, _ = carry
-        if deskew is not None:
-            tau_c, tau_s, prev_pose = deskew
-            rel = se3.compose(se3.inverse(prev_pose), pose)
-            c_i = PointBatch(se3.apply_interpolated(rel, tau_c, corners.xyz),
-                             corners.mask)
-            s_i = PointBatch(se3.apply_interpolated(rel, tau_s, surfs.xyz),
-                             surfs.mask)
+    def deskewed(pose):
+        if deskew is None:
+            return corners, surfs
+        tau_c, tau_s, prev_pose = deskew
+        rel = se3.compose(se3.inverse(prev_pose), pose)
+        c_i = PointBatch(se3.apply_interpolated(rel, tau_c, corners.xyz),
+                         corners.mask)
+        s_i = PointBatch(se3.apply_interpolated(rel, tau_s, surfs.xyz),
+                         surfs.mask)
+        return c_i, s_i
+
+    pose = pose0
+    stats = GnStats(jnp.int32(0), jnp.int32(0), jnp.float32(0.0), jnp.bool_(False))
+    cand = None
+    # outer loop unrolled (n_outer is 2-5): pass 1 probes the map, later
+    # passes re-rank the candidate cache (SolverConfig.cand_k)
+    for io in range(cfg.n_outer):
+        c_i, s_i = deskewed(pose)
+        if use_cache:
+            corr, cand = associate_cached(
+                pose, c_i, s_i, corner_map, surf_map, cmap_cfg, smap_cfg, cfg,
+                cand=cand, corner_tab=corner_tab, surf_tab=surf_tab,
+                knn_fn=knn_fn)
         else:
-            c_i, s_i = corners, surfs
-        corr = associate(pose, c_i, s_i, corner_map, surf_map,
-                         cmap_cfg, smap_cfg, cfg, corner_tab, surf_tab,
-                         knn_fn=knn_fn)
+            corr = associate(pose, c_i, s_i, corner_map, surf_map,
+                             cmap_cfg, smap_cfg, cfg, corner_tab, surf_tab,
+                             knn_fn=knn_fn)
 
         def inner(_, carry2):
             pose, _ = carry2
@@ -238,8 +323,5 @@ def solve_scan2map(
             rms = jnp.sqrt(sq / jnp.maximum(n_rows, 1.0))
             return pose, GnStats(n_c, n_s, rms, degen)
 
-        return jax.lax.fori_loop(0, cfg.n_inner, inner, carry)
-
-    init = (pose0, GnStats(jnp.int32(0), jnp.int32(0), jnp.float32(0.0), jnp.bool_(False)))
-    pose, stats = jax.lax.fori_loop(0, cfg.n_outer, outer, init)
+        pose, stats = jax.lax.fori_loop(0, cfg.n_inner, inner, (pose, stats))
     return pose, stats

@@ -47,6 +47,11 @@ class IeskfConfig(NamedTuple):
     # reference's own s = 1 - 0.9 |r| / sqrt(||p_body||) > 0.9 (esekfom.hpp:163)
     # — range-adaptive (far points tolerate larger residuals)
     resid_gate: str = "cap"
+    # candidate-cache association (nn/knn.knn_reselect): probe the map ONCE
+    # per scan for cand_k candidates at the propagated state, re-rank inside
+    # the iterated update. 0 disables (per-iteration re-probe, as the
+    # reference's per-iteration ikd-Tree searches, esekfom.hpp:141).
+    cand_k: int = 8
     # online lidar-IMU extrinsic estimation (the reference's extrinsic_est_en,
     # laserMapping.cpp param, esekfom.hpp:150-160: H's dtheta_li/dt_li columns
     # are zeroed when off). Default OFF as in every reference launch file —
@@ -61,14 +66,24 @@ def _h_model(
     smap: HashVoxelMap,
     map_cfg: MapConfig,
     cfg: IeskfConfig,
+    cand=None,
 ):
-    """Batched h_share_model: returns (H12 (N,12), residual (N,), valid (N,))."""
+    """Batched h_share_model: returns (H12 (N,12), residual (N,), valid (N,)).
+
+    `cand` is an optional cached candidate list (KnnResult with cand_k
+    neighbors, probed once at the propagated state): when given, the 5-NN are
+    re-ranked from it instead of re-probing the map."""
+    from ..nn.knn import knn_reselect
+
     R_li = so3.quat_to_matrix(x.q_li)
     R = so3.quat_to_matrix(x.q)
     body = pts_l.xyz @ R_li.T + x.t_li
     world = body @ R.T + x.p
 
-    res = knn(smap, world, pts_l.mask, cfg.k_neighbors, map_cfg)
+    if cand is None:
+        res = knn(smap, world, pts_l.mask, cfg.k_neighbors, map_cfg)
+    else:
+        res = knn_reselect(cand, world, pts_l.mask, cfg.k_neighbors)
     gate = res.sq_dists[:, cfg.k_neighbors - 1] < cfg.gate_sq
     plane = fit_planes(res.points, res.valid, cfg.plane_tol)
     r = jnp.einsum("ni,ni->n", plane.normal, world) + plane.offset
@@ -108,44 +123,80 @@ def update_iterated(
     smap: HashVoxelMap,
     map_cfg: MapConfig,
     cfg: IeskfConfig = IeskfConfig(),
+    axis_name: str | None = None,
 ):
-    """Iterated measurement update. Returns (x, P, n_valid, final residual rms)."""
+    """Iterated measurement update. Returns (x, P, n_valid, final residual rms).
+
+    The final iteration's (HtH, Htr, sum r^2, n_ok) reductions ride through
+    the while_loop carry, so the covariance update reuses the last
+    linearization instead of paying a fifth association pass — matching the
+    reference, which also forms K/P from the loop's last h_share_model call
+    (esekfom.hpp:270-346).
+
+    With `axis_name` (inside shard_map) the measurement point axis is SHARDED
+    over that mesh axis: each device associates + linearizes its local point
+    shard and the 12x12 HtH / 12-dim Htr reductions complete with one psum —
+    the exact collective mapping of the reference's OpenMP parallel-for over
+    points (esekfom.hpp:114-117). The 24x24 solve and state update replicate.
+    """
     inv_R = 1.0 / cfg.meas_noise
     Lp = jnp.linalg.cholesky(P_prop + 1e-8 * jnp.eye(DIM))
     P_inv = jax.scipy.linalg.cho_solve((Lp, True), jnp.eye(DIM))
     P_inv = 0.5 * (P_inv + P_inv.T)
 
+    def allsum(v):
+        return jax.lax.psum(v, axis_name) if axis_name else v
+
+    # candidate cache: ONE map probe at the propagated state; the iterated
+    # update re-ranks it (pose moves mm-cm per IESKF iteration)
+    cand = None
+    if cfg.cand_k >= cfg.k_neighbors:
+        from ..nn.knn import knn_cand
+
+        R_li0 = so3.quat_to_matrix(x_prop.q_li)
+        R0 = so3.quat_to_matrix(x_prop.q)
+        world0 = (pts_l.xyz @ R_li0.T + x_prop.t_li) @ R0.T + x_prop.p
+        cand = knn_cand(smap, world0, pts_l.mask, cfg.cand_k, map_cfg)
+
+    def reduce_h(x):
+        """Association + linearization on the local shard, psum-completed.
+        Returns (HtH 12x12, Htr 12, n_ok, sum r^2) — everything the solve and
+        the covariance update need; H itself never leaves the shard."""
+        H, r, ok = _h_model(x, pts_l, smap, map_cfg, cfg, cand=cand)
+        HtH = allsum(H.T @ H) * inv_R
+        Htr = allsum(H.T @ r) * inv_R
+        return HtH, Htr, allsum(jnp.sum(ok)), allsum(jnp.sum(r * r))
+
+    Z12 = jnp.zeros((12, 12))
+
     def body(carry):
-        i, x, _, _ = carry
-        H, r, ok = _h_model(x, pts_l, smap, map_cfg, cfg)
-        HtH = (H.T @ H) * inv_R  # (12,12) effective, embedded in 24
+        i, x, _, _, _, _ = carry
+        HtH, Htr, n_ok, sq = reduce_h(x)
         A = P_inv.at[:12, :12].add(HtH)
         # dx solves A dx = -(H^T r / Rm + P^-1 (x [-] x_prop))
         dxp = boxminus(x, x_prop)
-        rhs = -(jnp.concatenate([H.T @ r * inv_R, jnp.zeros(DIM - 12)]) + P_inv @ dxp)
+        rhs = -(jnp.concatenate([Htr, jnp.zeros(DIM - 12)]) + P_inv @ dxp)
         L = jnp.linalg.cholesky(A + 1e-6 * jnp.eye(DIM))
         dx = jax.scipy.linalg.cho_solve((L, True), rhs)
         x_new = boxplus(x, dx)
-        rms = jnp.sqrt(jnp.sum(r * r) / jnp.maximum(jnp.sum(ok), 1))
-        return i + 1, x_new, jnp.sum(ok), jnp.linalg.norm(dx)
+        return i + 1, x_new, jnp.linalg.norm(dx), HtH, n_ok, sq
 
     def keep_going(carry):
         # the reference's convergence exit: stop once |dx| < eps, capped at
         # max_iters (update_iterated_dyn_share_modified, esekfom.hpp:292-334)
-        i, _, _, dx_norm = carry
+        i, _, dx_norm, _, _, _ = carry
         return (i < cfg.max_iters) & ((i == 0) | (dx_norm >= cfg.converge_eps))
 
-    _, x, n_ok, _ = jax.lax.while_loop(
-        keep_going, body, (jnp.int32(0), x_prop, jnp.int32(0), jnp.float32(jnp.inf))
+    _, x, _, HtH, n_ok, sq = jax.lax.while_loop(
+        keep_going, body,
+        (jnp.int32(0), x_prop, jnp.float32(jnp.inf), Z12, jnp.int32(0),
+         jnp.float32(0.0)),
     )
+    rms = jnp.sqrt(sq / jnp.maximum(n_ok, 1))
     # final covariance from the last linearization. The reference uses
     # P = (I - K H) P (esekfom.hpp:342), which drifts non-PSD in f32 over long
     # runs; we use the Joseph form P = (I-KH) P (I-KH)^T + K Rm K^T, which is
     # PSD by construction (equal in exact arithmetic for the optimal K).
-    H, r, ok = _h_model(x, pts_l, smap, map_cfg, cfg)
-    n_ok = jnp.sum(ok)
-    rms = jnp.sqrt(jnp.sum(r * r) / jnp.maximum(n_ok, 1))
-    HtH = (H.T @ H) * inv_R
     A = P_inv.at[:12, :12].add(HtH)
     L = jnp.linalg.cholesky(A + 1e-6 * jnp.eye(DIM))
     # K = A^-1 H^T / Rm  (24xm), so K H = A^-1 embed(H^T H / Rm)

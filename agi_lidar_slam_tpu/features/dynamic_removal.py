@@ -32,7 +32,11 @@ class DynamicRemovalConfig(NamedTuple):
     ground_band: float = 0.3  # height band above cell-min counted as ground
     fg_max_footprint: int = 160  # cells (~25 m^2): larger -> background
     fg_max_height: float = 3.0  # taller clusters -> background (walls, trees)
-    n_prop_rounds: int = 10
+    # label-propagation rounds; each includes a pointer-jump, so reach
+    # doubles per round (2^6 = 64 cells = 25 m — vehicle-scale clusters
+    # converge long before; under-converged fragments of LARGE clusters stay
+    # background via the height test, so fewer rounds fail safe)
+    n_prop_rounds: int = 6
 
     @property
     def grid(self) -> int:
@@ -54,12 +58,19 @@ def remove_dynamic(scan: ScanGrid, cfg: DynamicRemovalConfig = DynamicRemovalCon
     # --- ground level per cell (segment-min of z) ---------------------------
     zmin = jax.ops.segment_min(jnp.where(mask, xyz[:, 2], 1e9), cell_safe,
                                num_segments=G * G + 1)
-    ground = mask & (xyz[:, 2] - zmin[cell_safe] < cfg.ground_band)
+    zrel = xyz[:, 2] - zmin[cell_safe]  # per-point gather #1 (and only)
+    ground = mask & (zrel < cfg.ground_band)
 
-    # --- BEV occupancy + connected components over non-ground ---------------
+    # --- per-cell max height of non-ground points ---------------------------
+    # ONE point-space scatter yields both the occupancy image (cellmax
+    # finite) and the per-cell height for the cluster stats below — the
+    # round-3 version paid separate occupancy and per-point-label scatters
+    # (XLA TPU scatter ~1.8 ms per 115k points; this path is scatter-bound)
     occ_pt = mask & ~ground
-    occ = jnp.zeros((G * G + 1,), bool).at[jnp.where(occ_pt, cell, G * G)].set(True)
-    occ2d = occ[: G * G].reshape(G, G)
+    cellmax = jax.ops.segment_max(jnp.where(occ_pt, zrel, -1e9), cell_safe,
+                                  num_segments=G * G + 1)
+    occ2d = (cellmax[: G * G] > -1e8).reshape(G, G)
+    del zmin  # classification below works entirely off zrel/occ_pt
     lin = jnp.arange(G * G, dtype=jnp.int32).reshape(G, G)
     labels = jnp.where(occ2d, lin, jnp.int32(G * G))
 
@@ -85,18 +96,20 @@ def remove_dynamic(scan: ScanGrid, cfg: DynamicRemovalConfig = DynamicRemovalCon
 
     labels = jax.lax.fori_loop(0, cfg.n_prop_rounds, prop, labels)
 
-    # --- cluster statistics --------------------------------------------------
-    lab_flat = jnp.concatenate([labels.reshape(-1), jnp.asarray([G * G], jnp.int32)])
-    cell_label = lab_flat[cell_safe]  # (N,) cluster id of each point
-    cell_label = jnp.where(occ_pt, cell_label, G * G)
+    # --- cluster statistics (cell space: 57k-element scatters, not 115k) ----
+    lab_flat = labels.reshape(-1)
     footprint = jax.ops.segment_sum(
-        occ2d.reshape(-1).astype(jnp.int32), labels.reshape(-1), num_segments=G * G + 1
+        occ2d.reshape(-1).astype(jnp.int32), lab_flat, num_segments=G * G + 1
     )
-    zrel = xyz[:, 2] - zmin[cell_safe]
-    hmax = jax.ops.segment_max(jnp.where(occ_pt, zrel, -1e9), cell_label,
+    hmax = jax.ops.segment_max(cellmax[: G * G], lab_flat,
                                num_segments=G * G + 1)
     is_fg_cluster = (footprint < cfg.fg_max_footprint) & (hmax < cfg.fg_max_height)
-    foreground = occ_pt & is_fg_cluster[cell_label]
+    # compose the per-CELL verdict first, then one per-point gather
+    fg_cell = jnp.concatenate([
+        is_fg_cluster[jnp.minimum(lab_flat, G * G)],
+        jnp.zeros((1,), bool),
+    ])
+    foreground = occ_pt & fg_cell[cell_safe]
 
     keep = mask & ~foreground
     return keep.reshape(scan.mask.shape)

@@ -135,6 +135,76 @@ def _smallest_k(d: jnp.ndarray, k: int):
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
 
 
+class CandCache(NamedTuple):
+    """Cached world-frame KNN candidates in coordinate-plane (C, N) layout.
+
+    The (N, C, 3) layout is poison on TPU — the 3-lane minor dim pads to 128,
+    so every elementwise op moves 42x the data. Candidate-major planes put N
+    on the lane axis: full VPU utilization for the re-ranking math."""
+
+    x: jnp.ndarray  # (C,N)
+    y: jnp.ndarray
+    z: jnp.ndarray
+    valid: jnp.ndarray  # (C,N)
+
+
+def make_cand(res: KnnResult) -> CandCache:
+    """CandCache from a generic KnnResult (e.g. the slot-sharded merged KNN).
+    Pays one (N,C,3) read; prefer knn_cand when probing a local map."""
+    p = res.points
+    return CandCache(p[:, :, 0].T, p[:, :, 1].T, p[:, :, 2].T, res.valid.T)
+
+
+def knn_cand(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
+             C: int, cfg: MapConfig, tab: jnp.ndarray | None = None) -> CandCache:
+    """Probe the map for C candidates per query, returned as a CandCache."""
+    use_vmem, interpret = _vmem_kernel_mode(cfg)
+    if use_vmem:
+        from .vmem_knn import knn_vmem
+
+        sq, planes, valid = knn_vmem(m, queries, qmask, C, cfg, tab=tab,
+                                     interpret=interpret, return_planes=True)
+        return CandCache(planes[:, 0:C].T, planes[:, C:2 * C].T,
+                         planes[:, 2 * C:3 * C].T, valid.T)
+    return make_cand(knn(m, queries, qmask, C, cfg, tab=tab))
+
+
+def knn_reselect(cand: CandCache, queries: jnp.ndarray, qmask: jnp.ndarray,
+                 k: int) -> KnnResult:
+    """Re-select the k nearest from a CACHED candidate list at moved queries.
+
+    The candidate-cache association mode: the expensive map probe (knn_cand
+    with C = SolverConfig.cand_k, e.g. 8-16) runs ONCE per scan; later solver
+    iterations — where the pose has moved only mm-cm — re-rank the cached
+    candidate points against the updated query positions here (pure VPU work
+    in (C, N) plane layout, no table traffic). The analog of a molecular-
+    dynamics neighbor list; the C - k extra neighbors absorb the pose motion.
+    Replaces the reference's per-iteration kd-tree re-searches (A-LOAM
+    laserMapping.cpp:645, esekfom.hpp:141) with amortized association."""
+    dx = cand.x - queries[:, 0][None, :]
+    dy = cand.y - queries[:, 1][None, :]
+    dz = cand.z - queries[:, 2][None, :]
+    d2 = dx * dx + dy * dy + dz * dz  # (C,N)
+    d2 = jnp.where(cand.valid & qmask[None, :], d2, _BIG)
+    sqs, xs, ys, zs = [], [], [], []
+    for _ in range(k):
+        v = jnp.min(d2, axis=0)  # (N,)
+        hit = d2 == v[None, :]
+        # tie-safe: keep only the first hit per column
+        first = hit & (jnp.cumsum(hit.astype(jnp.int32), axis=0) == 1)
+        ff = first.astype(d2.dtype)
+        sqs.append(v)
+        xs.append(jnp.sum(cand.x * ff, axis=0))
+        ys.append(jnp.sum(cand.y * ff, axis=0))
+        zs.append(jnp.sum(cand.z * ff, axis=0))
+        d2 = jnp.where(first, _BIG, d2)
+    sq = jnp.stack(sqs, axis=1)  # (N,k)
+    valid = sq < _BIG * 0.5
+    pts = jnp.stack([jnp.stack(xs, 1), jnp.stack(ys, 1), jnp.stack(zs, 1)], axis=-1)
+    pts = jnp.where(valid[..., None], pts, 0.0)
+    return KnnResult(pts, sq, valid)
+
+
 def knn_brute(ref_pts: jnp.ndarray, ref_mask: jnp.ndarray, queries: jnp.ndarray,
               k: int) -> KnnResult:
     """Exact brute-force KNN oracle (test reference for the hashed-map KNN)."""

@@ -49,14 +49,14 @@ _TILE = 64  # queries per grid step
 
 
 def _kernel(act_ref, h_ref, nbr_ref, q_ref, tab_ref, d_out, p_out, cand,
-            *, T, M, W, PW, K, L):
+            *, T, M, W, PW, K, L, DL, PL):
     i = pl.program_id(0)
     active = act_ref[i] > 0
 
     @pl.when(jnp.logical_not(active))
     def _():
-        d_out[:] = jnp.full((T, 8), _BIG, jnp.float32)
-        p_out[:] = jnp.zeros((T, 16), jnp.float32)
+        d_out[:] = jnp.full((T, DL), _BIG, jnp.float32)
+        p_out[:] = jnp.zeros((T, PL), jnp.float32)
 
     @pl.when(active)
     def _():
@@ -130,10 +130,10 @@ def _kernel(act_ref, h_ref, nbr_ref, q_ref, tab_ref, d_out, p_out, cand,
             dv.append(v)
             d2 = jnp.where(sel2f > 0.5, _BIG, d2)
 
-        zpad_d = jnp.zeros((T, 8 - K), jnp.float32)
-        zpad_p = jnp.zeros((T, 16 - 3 * K), jnp.float32)
-        d_out[:] = jnp.concatenate(dv + [zpad_d], axis=1)
-        p_out[:] = jnp.concatenate(px + py + pz + [zpad_p], axis=1)
+        zpad_d = [jnp.zeros((T, DL - K), jnp.float32)] if DL > K else []
+        zpad_p = [jnp.zeros((T, PL - 3 * K), jnp.float32)] if PL > 3 * K else []
+        d_out[:] = jnp.concatenate(dv + zpad_d, axis=1)
+        p_out[:] = jnp.concatenate(px + py + pz + zpad_p, axis=1)
 
 
 # octant corner offsets, mirroring nn/knn._OCT_CORNERS. Kept as numpy: this
@@ -149,12 +149,16 @@ _OCT = _np.asarray(
 
 def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
              k: int, cfg: MapConfig, tab: jnp.ndarray | None = None,
-             interpret: bool = False):
+             interpret: bool = False, return_planes: bool = False):
     """Drop-in octant8 KNN with the VMEM-resident kernel.
 
     Returns (sq_dists (N,k), points (N,k,3), valid (N,k)) — same contract as
     nn/knn.knn. `tab` is the planar table from map/planar.build_planar; pass
     it in when running several association passes against one map epoch.
+
+    return_planes=True returns (sq, planes (N,3k) = [x...|y...|z...], valid)
+    without materializing the (N,k,3) layout (whose 3-lane minor dim pads to
+    128 on TPU) — the candidate-cache path (nn/knn.knn_cand) consumes this.
     """
     assert cfg.neighborhood == "octant8", "kernel covers the octant8 mode"
     assert cfg.probes % 8 == 0, "superset windows need 8-aligned probe counts"
@@ -167,6 +171,11 @@ def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
         qmask = jnp.concatenate([qmask, jnp.zeros((padn,), bool)], axis=0)
     N = queries.shape[0]
     M, W, PW, L = 8, cfg.probes + 8, plane_width(cfg), planar_lanes(cfg)
+    # output lane widths, 8-aligned (K<=5 historically; K up to 16 serves the
+    # candidate-cache association mode, nn/knn.knn_reselect)
+    assert k <= 16, "kernel packs 3k point lanes; extend PL for larger k"
+    DL = ((max(k, 8) + 7) // 8) * 8
+    PL = ((3 * k + 7) // 8) * 8
 
     if tab is None:
         tab = build_planar(m, cfg)
@@ -180,7 +189,8 @@ def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
     act = jnp.any(qmask.reshape(-1, T), axis=1).astype(jnp.int32)
     q4 = jnp.concatenate([qp, jnp.zeros((N, 1), jnp.float32)], axis=1)
 
-    kernel = functools.partial(_kernel, T=T, M=M, W=W, PW=PW, K=k, L=L)
+    kernel = functools.partial(_kernel, T=T, M=M, W=W, PW=PW, K=k, L=L,
+                               DL=DL, PL=PL)
     d_out, p_out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -196,16 +206,16 @@ def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((T, 8), lambda i, act, h: (i, 0),
+                pl.BlockSpec((T, DL), lambda i, act, h: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, 16), lambda i, act, h: (i, 0),
+                pl.BlockSpec((T, PL), lambda i, act, h: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[pltpu.VMEM((T * M * W, L), jnp.float32)],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((N, 8), jnp.float32),
-            jax.ShapeDtypeStruct((N, 16), jnp.float32),
+            jax.ShapeDtypeStruct((N, DL), jnp.float32),
+            jax.ShapeDtypeStruct((N, PL), jnp.float32),
         ],
         # the candidate scratch + match-phase temporaries exceed the default
         # 16 MB scoped-vmem budget; v5e has 128 MB of VMEM
@@ -215,6 +225,8 @@ def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
 
     sq = d_out[:N_in, :k]
     valid = sq < VALID_SQ_LIMIT
+    if return_planes:
+        return jnp.where(valid, sq, _BIG), p_out[:N_in, :3 * k], valid
     pts = jnp.stack(
         [p_out[:N_in, 0:k], p_out[:N_in, k:2 * k], p_out[:N_in, 2 * k:3 * k]],
         axis=-1)  # (N_in,k,3)

@@ -79,8 +79,8 @@ class TestWindowSolve:
             t=ws_gt.t + jnp.asarray([[0.15, -0.1, 0.08], [0.12, 0.14, -0.06]]),
         )
         solver = SolverConfig(n_outer=4, n_inner=2, degen_eig_thresh=10.0)
-        ws, rn = solve_window(ws0, corners, surfs, cmap, smap, preints,
-                              empty_prior(2), GRAV, CFG.corner_map, CFG.surf_map, solver)
+        ws, rn, _, _ = solve_window(ws0, corners, surfs, cmap, smap, preints,
+                                    empty_prior(2), GRAV, CFG.corner_map, CFG.surf_map, solver)
         terr = np.linalg.norm(np.asarray(ws.t - ws_gt.t), axis=-1)
         assert terr.max() < 0.05, terr
         rerr = np.linalg.norm(np.asarray(
@@ -98,10 +98,40 @@ class TestWindowSolve:
             bg=jnp.zeros((2, 3)), ba=jnp.zeros((2, 3)),
         )
         solver = SolverConfig(n_outer=2, n_inner=2, degen_eig_thresh=10.0)
-        ws, _ = solve_window(ws0, corners, surfs, cmap, smap, preints,
-                             empty_prior(2), GRAV, CFG.corner_map, CFG.surf_map, solver)
+        ws, _, _, _ = solve_window(ws0, corners, surfs, cmap, smap, preints,
+                                   empty_prior(2), GRAV, CFG.corner_map, CFG.surf_map, solver)
         verr = float(jnp.linalg.norm(ws.v[0] - v0))
         assert verr < 0.15, verr
+
+    def test_analytic_information_matches_jacfwd_oracle(self):
+        # solve_window assembles the window normal equations analytically
+        # (batched 6x6 lidar blocks + jacfwd'd 15-row IMU factors) and returns
+        # (H, b) at its final state. With n_inner=0 the state never moves, so
+        # the returned information must equal `window_information` — the
+        # independent full-stack jacfwd linearization — at the same state.
+        world, (p0, p1), corners, surfs, cmap, smap, preints = setup_two_frames()
+        v0 = circle_velocity(0.0, RADIUS, OMEGA)
+        v1 = circle_velocity(DT, RADIUS, OMEGA)
+        ws0 = WindowState(
+            q=jnp.stack([p0.q, p1.q]),
+            t=jnp.stack([p0.t, p1.t]) + jnp.asarray([[0.05, -0.03, 0.02],
+                                                     [-0.04, 0.02, 0.03]]),
+            v=jnp.stack([v0, v1]), bg=jnp.zeros((2, 3)), ba=jnp.zeros((2, 3)),
+        )
+        solver = SolverConfig(n_outer=1, n_inner=0, degen_eig_thresh=10.0)
+        ws, _, H, b = solve_window(ws0, corners, surfs, cmap, smap, preints,
+                                   empty_prior(2), GRAV, CFG.corner_map,
+                                   CFG.surf_map, solver)
+        np.testing.assert_allclose(np.asarray(ws.t), np.asarray(ws0.t))
+        H_ref, b_ref = window_information(ws0, corners, surfs, cmap, smap,
+                                          preints, GRAV, CFG.corner_map,
+                                          CFG.surf_map, solver)
+        scale = float(jnp.max(jnp.abs(H_ref)))
+        np.testing.assert_allclose(np.asarray(H), np.asarray(H_ref),
+                                   atol=2e-4 * scale, rtol=2e-3)
+        bscale = max(float(jnp.max(jnp.abs(b_ref))), 1.0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref),
+                                   atol=2e-4 * bscale, rtol=2e-3)
 
 
 class TestMarginalization:
