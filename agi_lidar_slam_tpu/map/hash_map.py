@@ -165,8 +165,10 @@ def lookup_dedup(keys: jnp.ndarray, bc: jnp.ndarray, valid: jnp.ndarray,
     instead of aliasing with a real block.
     """
     K = bc.shape[0]
-    # unique capacity: 4x the entry count with a 4096 floor covers sparse
-    # batches with margin; overflow falls back to 'absent'
+    # unique-block capacity: half the entry count, floored at 4096 and capped
+    # at K (octant8 neighborhoods query 8 slots per point, so distinct blocks
+    # run far below K/2 in practice); overflow falls back to 'absent', which
+    # only costs a redundant probe, never a wrong hit
     U = min(K, max(K // 2, 4096))
     qbc = jnp.where(valid[:, None], bc, jnp.int32(2**20))
     base = jnp.min(qbc, axis=0)  # (3,)

@@ -67,9 +67,9 @@ def _kernel(act_ref, h_ref, nbr_ref, q_ref, tab_ref, d_out, p_out, cand,
         # [h & ~7, h & ~7 + W), W = P + 8 — Mosaic gets the provably
         # 8-aligned sublane offset it needs, and the key match below ignores
         # the extra rows (a block coord exists at most once in the table).
-        # Unrolled 4x: the loop is iteration-count-bound (scalar address
+        # Unrolled 8x: the loop is iteration-count-bound (scalar address
         # formation + branch dominate the copy), not bandwidth-bound.
-        UNROLL = 4
+        UNROLL = 8
         base = i * (T * M)
 
         def body(j4, _):

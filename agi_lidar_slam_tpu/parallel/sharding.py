@@ -146,6 +146,95 @@ def sharded_scan_step(mesh: Mesh, state, scan, cfg: PipelineConfig):
                               solve_fn=solve_con, solve_two_fn=solve_two_con)
 
 
+def sharded_lio_step(mesh: Mesh, state, pts_l, pts_t, pts_mask, imu, cfg):
+    """FAST-LIO engine step with the MEASUREMENT point axis sharded ("dp").
+
+    IMU propagation, undistortion, and downsampling replicate (they are a
+    tiny fraction of the scan budget); the iterated IESKF update — the
+    engine's dominant stage — runs under shard_map: each chip associates and
+    linearizes its shard of the downsampled cloud and the 12x12 HtH / Htr
+    reductions complete with one psum per iteration (the collective mapping
+    of the reference's OpenMP loop, esekfom.hpp:114-117). The 24x24 solve,
+    state update, and map insert replicate — replicas never diverge.
+    Parity with process_lio_scan is pinned by tests/test_sharding_parity.py.
+    """
+    from ..estimators.ieskf import update_iterated
+    from ..runtime.lio_pipeline import _process_lio_body
+
+    def update_fn(x_prop, P_prop, ds, smap, map_cfg, icfg):
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(), P("dp"), P()), out_specs=(P(), P(), P(), P()),
+            check_vma=False,  # replication comes from the psums
+        )
+        def run(xp, Pp, dsb, sm):
+            return update_iterated(xp, Pp, dsb, sm, map_cfg, icfg,
+                                   axis_name="dp")
+
+        return run(x_prop, P_prop, ds, smap)
+
+    return _process_lio_body(state, pts_l, pts_t, pts_mask, imu, cfg,
+                             update_fn=update_fn)
+
+
+def sharded_livox_step(mesh: Mesh, state, scan, imu, cfg):
+    """LIO-Livox windowed-MAP engine step with the per-frame FEATURE axes
+    sharded ("dp").
+
+    Preprocessing (dynamic removal, 3-class features, downsample), the IMU
+    preintegration, the marginalization, and the map inserts replicate; the
+    window solve — association + the dense 30-dim normal equations — runs
+    under shard_map with each frame's corner/surf/non-feature axes sharded
+    and the per-frame 6x6 blocks psum'd (solve_window's axis_name hook; the
+    collective form of the reference's three std::thread residual builders,
+    Estimator.cpp:1019-1050). Parity: tests/test_sharding_parity.py.
+    """
+    from ..estimators.window_map import solve_window
+    from ..runtime.livox_pipeline import _process_livox_body
+
+    Pf = P(None, "dp")  # (F, N) / (F, N, 3) feature arrays: shard the point axis
+
+    def solve_fn(ws, corners, surfs, cmap, smap, preints, prior, grav,
+                 cmap_cfg, smap_cfg, scfg, lidar_weight, others=None,
+                 other_map=None, omap_cfg=None, nonfeature_weight=10.0):
+        use_others = others is not None and other_map is not None
+        specs_in = [P(), Pf, Pf, P(), P(), P(), P(), P()]
+        args = [ws, corners, surfs, cmap, smap, preints, prior, grav]
+        if use_others:
+            specs_in += [Pf, P()]
+            args += [others, other_map]
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=tuple(specs_in), out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+        def run(ws_, c_, s_, cm_, sm_, pre_, pr_, g_, *rest):
+            kw = {}
+            if use_others:
+                kw = dict(others=rest[0], other_map=rest[1],
+                          omap_cfg=omap_cfg, nonfeature_weight=nonfeature_weight)
+            return solve_window(ws_, c_, s_, cm_, sm_, pre_, pr_, g_,
+                                cmap_cfg, smap_cfg, scfg, lidar_weight,
+                                axis_name="dp", **kw)
+
+        return run(*args)
+
+    return _process_livox_body(state, scan, imu, cfg, solve_fn=solve_fn)
+
+
+def sharded_liosam_step(mesh: Mesh, state, scan, imu, cfg):
+    """LIO-SAM engine step with the feature point axis sharded ("dp"): the
+    scan-to-map GN runs under shard_map with psum'd normal equations (the
+    same production solver as sharded_scan_step); preintegration, the 15-dim
+    fusion KF, and map updates replicate. Parity:
+    tests/test_sharding_parity.py."""
+    from ..runtime.liosam_pipeline import _process_liosam_body
+
+    solve_fn = _sharded_solver(mesh, "dp", solve_scan2map)
+    return _process_liosam_body(state, scan, imu, cfg, solve_fn=solve_fn)
+
+
 def sharded_scan_step_mp(mesh: Mesh, state, scan, cfg: PipelineConfig):
     """Full per-scan pipeline step against a SLOT-SHARDED map ("mp" axis):
     the scale-out for maps larger than one chip's HBM (SURVEY.md section 5.7).

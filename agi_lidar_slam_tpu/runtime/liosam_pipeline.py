@@ -146,10 +146,11 @@ def deskew_with_imu(scan: ScanGrid, imu: ImuWindow, bg: jnp.ndarray,
     return ScanGrid(out.reshape(scan.xyz.shape), scan.mask, scan.time)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def process_liosam_scan(
-    state: LioSamState, scan: ScanGrid, imu: ImuWindow, cfg: LioSamConfig
+def _process_liosam_body(
+    state: LioSamState, scan: ScanGrid, imu: ImuWindow, cfg: LioSamConfig,
+    solve_fn=None,  # solve_scan2map signature; the multi-chip hook
 ) -> Tuple[LioSamState, LioSamResult]:
+    solve = solve_fn if solve_fn is not None else solve_scan2map
     pcfg: PipelineConfig = cfg.slam.pipeline
     eng = state.engine
     R_prev = so3.quat_to_matrix(eng.pose.q)
@@ -176,7 +177,7 @@ def process_liosam_scan(
     v_pred = state.v + state.grav * dt + R_prev @ pre.dv
 
     # --- scan-to-map GN (scan2MapOptimization) -------------------------------
-    pose_map, stats = solve_scan2map(
+    pose_map, stats = solve(
         se3.Pose(q_pred, p_pred), corners, surfs, eng.corner_map, eng.surf_map,
         pcfg.corner_map, pcfg.surf_map, pcfg.solver,
     )
@@ -244,6 +245,14 @@ def process_liosam_scan(
                        corners, surfs)
     new_state = LioSamState(eng2, v_new, bg_new, ba_new, P_new, state.grav)
     return new_state, LioSamResult(pose_new, stats, corners, surfs, dc + ds, v_new)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def process_liosam_scan(
+    state: LioSamState, scan: ScanGrid, imu: ImuWindow, cfg: LioSamConfig
+) -> Tuple[LioSamState, LioSamResult]:
+    """The single-chip jitted per-scan step (see _process_liosam_body)."""
+    return _process_liosam_body(state, scan, imu, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -156,13 +156,14 @@ def _embed_prior(small: MarginalPrior, ws_new: WindowState) -> MarginalPrior:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def process_livox_scan(
+def _process_livox_body(
     state: LivoxState,
     scan: ScanGrid,
     imu: ImuWindow,
     cfg: LivoxConfig,
+    solve_fn=None,  # solve_window signature; the multi-chip hook
 ) -> Tuple[LivoxState, LivoxResult]:
+    solve = solve_fn if solve_fn is not None else solve_window
     # --- preprocessing: mount correction + dynamic removal + features -------
     mount = state.mount
     if cfg.use_mount_calib:
@@ -220,7 +221,7 @@ def process_livox_scan(
     # solve_window returns the measurement information (H, b) linearized at
     # the solution with the final correspondences — no duplicate
     # re-association/re-linearization pass (VERDICT r3 weak #1)
-    ws_opt, resid, H, b = solve_window(
+    ws_opt, resid, H, b = solve(
         ws, corners, surfs, state.corner_map, state.surf_map, preints,
         state.prior, state.grav, cfg.corner_map, cfg.surf_map, cfg.solver,
         cfg.lidar_weight, **okw,
@@ -255,6 +256,17 @@ def process_livox_scan(
         grav=state.grav, frame=state.frame + 1, mount=mount,
     )
     return new_state, LivoxResult(pose_new, resid, dc + dss + do)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def process_livox_scan(
+    state: LivoxState,
+    scan: ScanGrid,
+    imu: ImuWindow,
+    cfg: LivoxConfig,
+) -> Tuple[LivoxState, LivoxResult]:
+    """The single-chip jitted per-sweep step (see _process_livox_body)."""
+    return _process_livox_body(state, scan, imu, cfg)
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,33 @@ class TestEskfPropagation:
         np.testing.assert_allclose(np.asarray(boxminus(x2, x)), np.asarray(dx), atol=1e-5)
 
 
+class TestBatchedPreintegrationParity:
+    def test_matches_sequential_scan(self):
+        """The associative-scan preintegrate must reproduce the step-by-step
+        lax.scan recurrence (mean, covariance, bias Jacobian) bit-near."""
+        from agi_lidar_slam_tpu.imu.preintegration import (preintegrate,
+                                                           preintegrate_scan)
+
+        rng = np.random.RandomState(11)
+        N = 20
+        gyro = jnp.asarray(rng.randn(N, 3) * 0.4, jnp.float32)
+        acc = jnp.asarray(rng.randn(N, 3) * 2.0 + np.array([0, 0, 9.81]),
+                          jnp.float32)
+        dts = jnp.full((N,), 0.005)
+        mask = jnp.asarray(rng.rand(N) > 0.2)
+        bg = jnp.asarray([0.01, -0.02, 0.005])
+        ba = jnp.asarray([-0.05, 0.02, 0.1])
+        a = preintegrate(gyro, acc, dts, mask, bg, ba)
+        b = preintegrate_scan(gyro, acc, dts, mask, bg, ba)
+        np.testing.assert_allclose(np.asarray(a.dq), np.asarray(b.dq), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.dp), np.asarray(b.dp), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.dv), np.asarray(b.dv), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.cov), np.asarray(b.cov),
+                                   rtol=1e-3, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(a.J_bias), np.asarray(b.J_bias),
+                                   rtol=1e-4, atol=1e-6)
+
+
 class TestStaticInit:
     def test_recovers_bias_and_gravity(self):
         from agi_lidar_slam_tpu.runtime.lio_pipeline import static_init

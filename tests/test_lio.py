@@ -101,6 +101,44 @@ if __name__ == "__main__":
     pytest.main([__file__, "-q"])
 
 
+class TestBatchedPropagationParity:
+    def test_matches_sequential_predict(self):
+        """The associative-scan _propagate_window must reproduce the
+        step-by-step eskf.predict recurrence (pose track + covariance)."""
+        from agi_lidar_slam_tpu.imu.eskf import EskfNoise, predict
+        from agi_lidar_slam_tpu.runtime.lio_pipeline import (ImuWindow,
+                                                             _propagate_window)
+
+        rng = np.random.RandomState(5)
+        M = 20
+        gyro = jnp.asarray(rng.randn(M, 3) * 0.3, jnp.float32)
+        acc = jnp.asarray(rng.randn(M, 3) + np.array([0, 0, 9.81]), jnp.float32)
+        dts = jnp.full((M,), 0.005)
+        mask = jnp.asarray(rng.rand(M) > 0.15)
+        win = ImuWindow(gyro, acc, dts, mask)
+        x0 = NavState.identity()._replace(
+            v=jnp.asarray([1.0, 0.2, -0.1]), bg=jnp.asarray([0.01, -0.02, 0.005]))
+        P0 = jnp.eye(24) * 1e-3
+        noise = EskfNoise()
+
+        x_b, P_b, qs_b, ps_b, ts_b = _propagate_window(x0, P0, win, noise)
+
+        x, P = x0, P0
+        qs, ps = [x0.q], [x0.p]
+        for i in range(M):
+            dt = float(dts[i]) if bool(mask[i]) else 0.0
+            x, P = predict(x, P, gyro[i], acc[i], dt, noise)
+            qs.append(x.q)
+            ps.append(x.p)
+        np.testing.assert_allclose(np.asarray(qs_b), np.stack([np.asarray(q) for q in qs]),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(ps_b), np.stack([np.asarray(p) for p in ps]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x_b.v), np.asarray(x.v), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(P_b), np.asarray(P),
+                                   rtol=2e-3, atol=1e-8)
+
+
 class TestIeskfEarlyExit:
     def test_converged_exit_matches_single_iteration(self):
         """The while_loop convergence exit (esekfom.hpp:292-334): with a huge

@@ -104,3 +104,105 @@ class TestMpScanStepParity:
         np.testing.assert_allclose(sh, ref, atol=1e-4)
         assert int(st_sh.surf_map.occ.sum()) == int(st_ref.surf_map.occ.sum())
         assert int(st_sh.corner_map.occ.sum()) == int(st_ref.corner_map.occ.sum())
+
+
+def _circle_inputs(n, rings=16, width=720, radius=6.0, omega=0.25, dt=0.2, m=20):
+    from agi_lidar_slam_tpu.runtime.lio_pipeline import ImuWindow
+    from agi_lidar_slam_tpu.sim.trajectory import circle_imu, circle_pose
+
+    world = default_world(seed=7)
+    scans, wins, poses = [], [], []
+    for i in range(n):
+        t0, t1 = i * dt, (i + 1) * dt
+        p1 = circle_pose(t1, radius, omega)
+        scans.append(simulate_scan(world, p1, p1, rings=rings, width=width,
+                                   noise_std=0.005, seed=i))
+        ts = t0 + (jnp.arange(m) + 0.5) * (dt / m)
+        gy, ac = circle_imu(ts, radius, omega)
+        wins.append(ImuWindow(gy, ac, jnp.full((m,), dt / m),
+                              jnp.ones((m,), bool)))
+        poses.append(p1)
+    return scans, wins, poses
+
+
+class TestImuEngineShardingParity:
+    """Round-4 verdict item: the three IMU engines (IESKF, windowed MAP,
+    LIO-SAM fused) get point-axis-sharded multi-chip steps — parity with the
+    single-chip steps pinned here on the 8-virtual-device mesh."""
+
+    def test_lio_ieskf_step(self, mesh):
+        from agi_lidar_slam_tpu.parallel.sharding import sharded_lio_step
+        from agi_lidar_slam_tpu.runtime.lio_pipeline import (
+            LioConfig, init_lio_state, process_lio_scan)
+        from agi_lidar_slam_tpu.sim.trajectory import circle_velocity
+        from agi_lidar_slam_tpu.config import MapConfig
+        from agi_lidar_slam_tpu.imu.eskf import NavState
+
+        cfg = LioConfig(map=MapConfig(sub_voxel=0.4, block_sub=2,
+                                      log2_slots=14, neighborhood="full27"),
+                        scan_voxel=0.3, max_scan_pts=4096, bound_radius=0.0)
+        scans, wins, _ = _circle_inputs(3)
+        def mk():  # fresh buffers: the engine steps donate their state
+            x0 = NavState.identity()._replace(v=circle_velocity(0.2, 6.0, 0.25))
+            return init_lio_state(cfg, x0)
+
+        st_ref = mk()
+        st_sh = replicate(mk(), mesh)
+        step = jax.jit(functools.partial(sharded_lio_step, mesh, cfg=cfg))
+        for s, w in zip(scans, wins):
+            p = s.xyz.reshape(-1, 3)
+            tt = (s.time * 0.2).reshape(-1).astype(jnp.float32)
+            m = s.mask.reshape(-1)
+            st_ref, r_ref = process_lio_scan(st_ref, p, tt, m, w, cfg)
+            st_sh, r_sh = step(st_sh, *(replicate((p, tt, m, w), mesh)))
+            np.testing.assert_allclose(np.asarray(r_sh.x.p),
+                                       np.asarray(r_ref.x.p), atol=5e-3)
+        assert int(st_sh.map.occ.sum()) == int(st_ref.map.occ.sum())
+
+    def test_livox_window_step(self, mesh):
+        from agi_lidar_slam_tpu.parallel.sharding import sharded_livox_step
+        from agi_lidar_slam_tpu.runtime.livox_pipeline import (
+            init_livox_state, process_livox_scan)
+        from agi_lidar_slam_tpu.sim.trajectory import circle_pose, circle_velocity
+        from tests.test_livox_pipeline import CFG as LIVOX_CFG
+
+        scans, wins, _ = _circle_inputs(3)
+
+        def mk():
+            return init_livox_state(LIVOX_CFG, circle_pose(0.0, 6.0, 0.25),
+                                    v0=circle_velocity(0.0, 6.0, 0.25))
+
+        st_ref = mk()
+        st_sh = replicate(mk(), mesh)
+        step = jax.jit(functools.partial(sharded_livox_step, mesh, cfg=LIVOX_CFG))
+        for s, w in zip(scans, wins):
+            st_ref, r_ref = process_livox_scan(st_ref, s, w, LIVOX_CFG)
+            st_sh, r_sh = step(st_sh, replicate(s, mesh), replicate(w, mesh))
+            np.testing.assert_allclose(np.asarray(r_sh.pose.t),
+                                       np.asarray(r_ref.pose.t), atol=5e-3)
+        assert int(st_sh.surf_map.occ.sum()) == int(st_ref.surf_map.occ.sum())
+
+    def test_liosam_step(self, mesh):
+        from agi_lidar_slam_tpu.parallel.sharding import sharded_liosam_step
+        from agi_lidar_slam_tpu.runtime.liosam_pipeline import (
+            LioSamConfig, init_liosam_state, process_liosam_scan)
+        from agi_lidar_slam_tpu.runtime.slam_pipeline import SlamConfig
+        from agi_lidar_slam_tpu.sim.trajectory import circle_pose, circle_velocity
+
+        cfg = LioSamConfig(slam=SlamConfig(pipeline=preset_sim16()),
+                           scan_period=0.2)
+        scans, wins, _ = _circle_inputs(3)
+
+        def mk():
+            return init_liosam_state(cfg, x0=circle_pose(0.0, 6.0, 0.25),
+                                     v0=circle_velocity(0.0, 6.0, 0.25))
+
+        st_ref = mk()
+        st_sh = replicate(mk(), mesh)
+        step = jax.jit(functools.partial(sharded_liosam_step, mesh, cfg=cfg))
+        for s, w in zip(scans, wins):
+            st_ref, r_ref = process_liosam_scan(st_ref, s, w, cfg)
+            st_sh, r_sh = step(st_sh, replicate(s, mesh), replicate(w, mesh))
+            np.testing.assert_allclose(np.asarray(r_sh.pose.t),
+                                       np.asarray(r_ref.pose.t), atol=5e-3)
+        assert int(st_sh.engine.surf_map.occ.sum()) == int(st_ref.engine.surf_map.occ.sum())
