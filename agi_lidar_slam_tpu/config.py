@@ -87,8 +87,11 @@ class SolverConfig:
     # cand_k - k margin absorbs the cm-scale inter-iteration pose motion.
     # 0 disables (every outer pass re-probes, the reference's behavior).
     # Measured (v5e, 8192 queries, 16k-slot table): probe C=8 3.9 ms vs
-    # C=16 5.8 ms vs k=5 3.2 ms; reselect ~0.7 ms — C=8 wins at n_outer=2.
-    cand_k: int = 8
+    # C=16 5.8 ms vs k=5 3.2 ms; reselect ~0.7 ms — the cache pays off from
+    # ~3 association passes up (the livox window: 3 outers x 3 classes; the
+    # IESKF: <=5 iterations) and is a small net loss at n_outer=2, so the
+    # default is OFF and the multi-pass configs opt in.
+    cand_k: int = 0
     # cache "skin distance" (MD neighbor-list style): re-probe the map when
     # the pose has moved more than this since the cached probe (effective
     # motion = |dt| + 30 m lever arm * |dtheta|). Steady-state solves never

@@ -33,8 +33,14 @@ from ..fit.geometry_fit import fit_lines, fit_planes
 from ..geometry import se3, so3
 from ..map.hash_map import HashVoxelMap
 from ..map.planar import build_planar
-from ..nn.knn import (_vmem_kernel_mode, knn, knn_cand, knn_reselect,
-                      make_cand)
+from ..nn.knn import (KnnResult, _vmem_kernel_mode, knn, knn_cand,
+                      knn_reselect, make_cand)
+
+
+def _first_k(res: KnnResult, k: int) -> KnnResult:
+    """First k of an ascending-by-distance KnnResult (free k-NN extraction
+    from a cand_k-wide probe)."""
+    return KnnResult(res.points[:, :k], res.sq_dists[:, :k], res.valid[:, :k])
 from ..pointcloud.cloud import PointBatch
 
 
@@ -143,29 +149,33 @@ def associate_cached(
     sw = surfs.xyz @ R.T + pose.t
 
     def probe():
+        """Map probe for the candidate cache + the k-NN of THIS pass for
+        free (the candidate list is ascending by distance)."""
         if knn_fn is None:
-            return (
-                knn_cand(corner_map, cw, corners.mask, cfg.cand_k, cmap_cfg, tab=corner_tab),
-                knn_cand(surf_map, sw, surfs.mask, cfg.cand_k, smap_cfg, tab=surf_tab),
-                pose.q, pose.t,
-            )
-        return (
-            make_cand(knn_fn(corner_map, cw, corners.mask, cfg.cand_k, cmap_cfg, tab=corner_tab)),
-            make_cand(knn_fn(surf_map, sw, surfs.mask, cfg.cand_k, smap_cfg, tab=surf_tab)),
-            pose.q, pose.t,
-        )
+            cc, nc = knn_cand(corner_map, cw, corners.mask, cfg.cand_k,
+                              cmap_cfg, tab=corner_tab, k=k)
+            cs, ns = knn_cand(surf_map, sw, surfs.mask, cfg.cand_k,
+                              smap_cfg, tab=surf_tab, k=k)
+        else:
+            fc = knn_fn(corner_map, cw, corners.mask, cfg.cand_k, cmap_cfg, tab=corner_tab)
+            fs = knn_fn(surf_map, sw, surfs.mask, cfg.cand_k, smap_cfg, tab=surf_tab)
+            cc, nc = make_cand(fc), _first_k(fc, k)
+            cs, ns = make_cand(fs), _first_k(fs, k)
+        return (cc, cs, pose.q, pose.t), nc, ns
 
     if cand is None:
-        cand = probe()
+        cand, nc, ns = probe()
     else:
+        def reuse():
+            return (cand,
+                    knn_reselect(cand[0], cw, corners.mask, k),
+                    knn_reselect(cand[1], sw, surfs.mask, k))
+
         moved = _cache_motion(pose, cand[2], cand[3])
-        cand = jax.lax.cond(moved > cfg.cand_refresh, probe, lambda: cand)
-    nc = knn_reselect(cand[0], cw, corners.mask, k)
+        cand, nc, ns = jax.lax.cond(moved > cfg.cand_refresh, probe, reuse)
     gate_c = nc.sq_dists[:, k - 1] < cfg.corner_gate_sq
     line = fit_lines(nc.points, nc.valid, cfg.line_eig_ratio)
     ok_c = corners.mask & gate_c & line.ok
-
-    ns = knn_reselect(cand[1], sw, surfs.mask, k)
     gate_s = ns.sq_dists[:, k - 1] < cfg.surf_gate_sq
     plane = fit_planes(ns.points, ns.valid, cfg.plane_tol)
     ok_s = surfs.mask & gate_s & plane.ok

@@ -235,36 +235,49 @@ def associate_window(
               if use_others else None)
         cand = None
     else:
+        from .gn_scan2map import _first_k
+
         def probe():
+            """Probe for the cache + this pass's k-NN for free (candidates
+            come back ascending by distance)."""
             if knn_fn is None:
-                return (
-                    knn_cand(corner_map, cw, cm, kq, cmap_cfg, tab=corner_tab),
-                    knn_cand(surf_map, sw, sm, kq, smap_cfg, tab=surf_tab),
-                    (knn_cand(other_map, ow, om, kq, omap_cfg, tab=other_tab)
-                     if use_others else None),
-                    ws.q, ws.t,
-                )
-            return (
-                make_cand(lookup(corner_map, cw, cm, kq, cmap_cfg, tab=corner_tab)),
-                make_cand(lookup(surf_map, sw, sm, kq, smap_cfg, tab=surf_tab)),
-                (make_cand(lookup(other_map, ow, om, kq, omap_cfg, tab=other_tab))
-                 if use_others else None),
-                ws.q, ws.t,
-            )
+                cc, nc = knn_cand(corner_map, cw, cm, kq, cmap_cfg,
+                                  tab=corner_tab, k=k)
+                cs, ns = knn_cand(surf_map, sw, sm, kq, smap_cfg,
+                                  tab=surf_tab, k=k)
+                if use_others:
+                    co, no = knn_cand(other_map, ow, om, kq, omap_cfg,
+                                      tab=other_tab, k=k)
+                else:
+                    co, no = None, None
+            else:
+                fc = lookup(corner_map, cw, cm, kq, cmap_cfg, tab=corner_tab)
+                fs = lookup(surf_map, sw, sm, kq, smap_cfg, tab=surf_tab)
+                cc, nc = make_cand(fc), _first_k(fc, k)
+                cs, ns = make_cand(fs), _first_k(fs, k)
+                if use_others:
+                    fo = lookup(other_map, ow, om, kq, omap_cfg, tab=other_tab)
+                    co, no = make_cand(fo), _first_k(fo, k)
+                else:
+                    co, no = None, None
+            return (cc, cs, co, ws.q, ws.t), nc, ns, no
 
         if cand is None:
-            cand = probe()
+            cand, nc, ns, no = probe()
         else:
             # skin-distance refresh over the worst-moved window frame
             from .gn_scan2map import _cache_motion
 
+            def reuse():
+                return (cand,
+                        knn_reselect(cand[0], cw, cm, k),
+                        knn_reselect(cand[1], sw, sm, k),
+                        knn_reselect(cand[2], ow, om, k) if use_others else None)
+
             moved = jnp.max(jax.vmap(
                 lambda qf, tf, q0, t0: _cache_motion(se3.Pose(qf, tf), q0, t0)
             )(ws.q, ws.t, cand[3], cand[4]))
-            cand = jax.lax.cond(moved > cfg.cand_refresh, probe, lambda: cand)
-        nc = knn_reselect(cand[0], cw, cm, k)
-        ns = knn_reselect(cand[1], sw, sm, k)
-        no = knn_reselect(cand[2], ow, om, k) if use_others else None
+            cand, nc, ns, no = jax.lax.cond(moved > cfg.cand_refresh, probe, reuse)
 
     gate_c = nc.sq_dists[:, k - 1] < cfg.corner_gate_sq
     line = fit_lines(nc.points, nc.valid, cfg.line_eig_ratio)
@@ -493,11 +506,14 @@ def marginalize_oldest(
     Hmm_inv = jnp.linalg.inv(Hmm)
     H_pr = Hrr - Hmr.T @ Hmm_inv @ Hmr
     b_pr = br - Hmr.T @ Hmm_inv @ bm
-    # project to PSD: f32 roundoff in the Schur complement leaves tiny negative
-    # eigenvalues (~1e-7 of the largest) that would poison later solves
+    # PSD repair: f32 roundoff in the Schur complement leaves tiny negative
+    # eigenvalues (~1e-7 of the largest) that would poison later solves.
+    # A relative ridge at 10x that scale restores PSD for ~zero cost — the
+    # eigh-projection this replaces was ~1.5 ms/scan of Jacobi iterations
+    # on TPU for a 15x15 matrix.
     H_pr = 0.5 * (H_pr + H_pr.T)
-    vals, vecs = jnp.linalg.eigh(H_pr)
-    H_pr = (vecs * jnp.maximum(vals, 0.0)[None, :]) @ vecs.T
+    ridge = 1e-6 * jnp.maximum(jnp.max(jnp.diagonal(H_pr)), 0.0)
+    H_pr = H_pr + ridge * jnp.eye(H_pr.shape[0])
     # NOTE: b_full is the *negative* gradient (-J^T r, per window_information),
     # so the Schur-reduced b_pr keeps that convention; both consumers
     # (solve_window's `g + H dx_lin - b` and the livox fold) expect +b_pr.

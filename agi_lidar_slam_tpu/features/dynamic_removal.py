@@ -28,15 +28,23 @@ from ..pointcloud.cloud import ScanGrid
 
 class DynamicRemovalConfig(NamedTuple):
     cell: float = 0.4  # BEV cell size (reference grid: 0.2 m)
-    half_extent: float = 48.0  # grid covers [-half, half] in x and y
+    half_extent: float = 40.0  # grid covers [-half, half] in x and y (the
+    # reference's grid spans 30x80 m forward; 80 m of diameter here)
     ground_band: float = 0.3  # height band above cell-min counted as ground
     fg_max_footprint: int = 160  # cells (~25 m^2): larger -> background
     fg_max_height: float = 3.0  # taller clusters -> background (walls, trees)
     # label-propagation rounds; each includes a pointer-jump, so reach
-    # doubles per round (2^6 = 64 cells = 25 m — vehicle-scale clusters
-    # converge long before; under-converged fragments of LARGE clusters stay
-    # background via the height test, so fewer rounds fail safe)
-    n_prop_rounds: int = 6
+    # doubles per round (2^4 = 16 cells = 6.4 m covers vehicle-scale
+    # clusters; under-converged fragments of LARGE clusters stay background
+    # via the height test, so fewer rounds fail safe — and the per-round
+    # pointer-jump gather is the stage's second-biggest cost)
+    n_prop_rounds: int = 4
+    # azimuth-column stride for the BEV statistics scatters (zmin / cellmax):
+    # the XLA TPU scatter is the stage's bottleneck and scales with the point
+    # count, while the cell stats saturate well below full density (azimuth
+    # spacing at 50 m is ~9 cm vs the 0.4 m cell). Classification of EVERY
+    # point (the gathers) stays full-resolution. 1 = no decimation.
+    stats_stride: int = 2
 
     @property
     def grid(self) -> int:
@@ -49,14 +57,22 @@ def remove_dynamic(scan: ScanGrid, cfg: DynamicRemovalConfig = DynamicRemovalCon
     xyz = scan.xyz.reshape(-1, 3)
     mask = scan.mask.reshape(-1)
     N = xyz.shape[0]
+    if cfg.stats_stride > 1:  # decimated scatter statistics (see config)
+        col = jnp.broadcast_to(
+            jnp.arange(scan.mask.shape[1]) % cfg.stats_stride == 0,
+            scan.mask.shape).reshape(-1)
+        stat_mask = mask & col
+    else:
+        stat_mask = mask
 
     cx = jnp.clip(((xyz[:, 0] + cfg.half_extent) / cfg.cell).astype(jnp.int32), 0, G - 1)
     cy = jnp.clip(((xyz[:, 1] + cfg.half_extent) / cfg.cell).astype(jnp.int32), 0, G - 1)
     cell = cx * G + cy  # (N,)
     cell_safe = jnp.where(mask, cell, G * G)
+    cell_stat = jnp.where(stat_mask, cell, G * G)
 
     # --- ground level per cell (segment-min of z) ---------------------------
-    zmin = jax.ops.segment_min(jnp.where(mask, xyz[:, 2], 1e9), cell_safe,
+    zmin = jax.ops.segment_min(jnp.where(stat_mask, xyz[:, 2], 1e9), cell_stat,
                                num_segments=G * G + 1)
     zrel = xyz[:, 2] - zmin[cell_safe]  # per-point gather #1 (and only)
     ground = mask & (zrel < cfg.ground_band)
@@ -67,8 +83,9 @@ def remove_dynamic(scan: ScanGrid, cfg: DynamicRemovalConfig = DynamicRemovalCon
     # round-3 version paid separate occupancy and per-point-label scatters
     # (XLA TPU scatter ~1.8 ms per 115k points; this path is scatter-bound)
     occ_pt = mask & ~ground
-    cellmax = jax.ops.segment_max(jnp.where(occ_pt, zrel, -1e9), cell_safe,
-                                  num_segments=G * G + 1)
+    cellmax = jax.ops.segment_max(
+        jnp.where(stat_mask & ~ground, zrel, -1e9), cell_stat,
+        num_segments=G * G + 1)
     occ2d = (cellmax[: G * G] > -1e8).reshape(G, G)
     del zmin  # classification below works entirely off zrel/occ_pt
     lin = jnp.arange(G * G, dtype=jnp.int32).reshape(G, G)

@@ -82,26 +82,46 @@ def empty_map(cfg: MapConfig) -> HashVoxelMap:
     )
 
 
-def _hash(bc: jnp.ndarray, log2_slots: int) -> jnp.ndarray:
-    """Spatial hash of integer block coords (...,3) -> slot in [0, 2**log2_slots).
+def pack_key(bc: jnp.ndarray) -> jnp.ndarray:
+    """Block coords (...,3) -> one non-negative 30-bit int32 key:
+    (x mod 1024) << 20 | (y mod 1024) << 10 | (z mod 1024).
 
-    Large-prime XOR mix plus a murmur-style avalanche finalizer. The
-    finalizer matters: without it the LOW bits of x*prime are linear in x
-    (x*p mod 2^k = x*(p mod 2^k)), so small symmetric coordinates — exactly
-    what a near-origin scan produces — collide in structured families, and
-    the probe-aligned set-associative groups (probe_base) turn those
-    collisions into dropped blocks at a few percent table load. int32
-    wraparound is deterministic on XLA."""
-    h = (
-        bc[..., 0] * jnp.int32(73856093)
-        ^ bc[..., 1] * jnp.int32(19349663)
-        ^ bc[..., 2] * jnp.int32(83492791)
+    Exact (alias-free) whenever the live blocks span < 1024 blocks per axis
+    — guaranteed by the rolling bound_map (150 m radius over >=2 m blocks).
+    For unbounded maps two blocks 1024*block_size apart alias; the full
+    (...,3) key comparison in `lookup` still disambiguates them, and the
+    Pallas kernel's packed-key probe would at worst pick far-away candidate
+    points that the distance gates discard. The hash is a function of this
+    packed key so the kernel can recompute probe bases from ONE SMEM word
+    per (query, octant)."""
+    return (
+        ((bc[..., 0] & jnp.int32(1023)) << 20)
+        | ((bc[..., 1] & jnp.int32(1023)) << 10)
+        | (bc[..., 2] & jnp.int32(1023))
     )
-    u = h & jnp.int32(0x7FFFFFFF)
+
+
+def hash_packed(pk: jnp.ndarray, log2_slots: int) -> jnp.ndarray:
+    """murmur-style avalanche of a packed key -> slot in [0, 2**log2_slots).
+
+    The finalizer matters: without it the LOW bits are linear in the
+    coordinates, so small symmetric coordinates — exactly what a near-origin
+    scan produces — collide in structured families, and the probe windows
+    turn those collisions into dropped blocks at a few percent table load.
+    int32 wraparound is deterministic on XLA; nn/vmem_knn.py re-implements
+    this EXACT sequence on the Pallas scalar core — keep them in sync."""
+    u = pk & jnp.int32(0x7FFFFFFF)
     u = u ^ (u >> 15)
     u = (u * jnp.int32(0x2C1B3C6D)) & jnp.int32(0x7FFFFFFF)
     u = u ^ (u >> 12)
+    u = (u * jnp.int32(0x297A2D39)) & jnp.int32(0x7FFFFFFF)
+    u = u ^ (u >> 13)
     return u & jnp.int32((1 << log2_slots) - 1)
+
+
+def _hash(bc: jnp.ndarray, log2_slots: int) -> jnp.ndarray:
+    """Spatial hash of integer block coords (...,3): avalanche of pack_key."""
+    return hash_packed(pack_key(bc), log2_slots)
 
 
 def probe_base(bc: jnp.ndarray, cfg: MapConfig) -> jnp.ndarray:

@@ -28,11 +28,13 @@ association pass.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 from ..config import MapConfig
-from .hash_map import HashVoxelMap
+from .hash_map import EMPTY_KEY, HashVoxelMap, pack_key
 
 POISON_POINT = -1.0e9  # empty sub-voxel coordinate
 POISON_QUERY = 1.0e9  # invalid-query coordinate (callers)
@@ -53,8 +55,20 @@ def planar_lanes(cfg: MapConfig) -> int:
     return max(128, ((need + 127) // 128) * 128)
 
 
-def build_planar(m: HashVoxelMap, cfg: MapConfig) -> jnp.ndarray:
-    """HashVoxelMap -> (rows, L) f32 planar table (see module docstring)."""
+class PlanarTab(NamedTuple):
+    """The VMEM point-plane table + the SMEM packed-key row index.
+
+    `tab` (rows, L) f32 is the kernel-resident candidate store; `ktab`
+    (rows,) int32 holds each row's pack_key (-1 where the row is empty) so
+    the kernel's scalar core can resolve a probe window to the ONE matching
+    row before copying anything (nn/vmem_knn.py)."""
+
+    tab: jnp.ndarray
+    ktab: jnp.ndarray
+
+
+def build_planar(m: HashVoxelMap, cfg: MapConfig) -> PlanarTab:
+    """HashVoxelMap -> PlanarTab (see module docstring)."""
     B = m.bucket
     PW = plane_width(cfg)
     L = planar_lanes(cfg)
@@ -66,4 +80,7 @@ def build_planar(m: HashVoxelMap, cfg: MapConfig) -> jnp.ndarray:
             coords.append(ppad)
     keys_f = jax.lax.bitcast_convert_type(m.keys, jnp.float32)  # (rows, 3)
     tail = jnp.full((m.n_rows, L - 3 * PW - 3), POISON_POINT, jnp.float32)
-    return jnp.concatenate(coords + [keys_f, tail], axis=1)
+    tab = jnp.concatenate(coords + [keys_f, tail], axis=1)
+    live = m.keys[:, 0] != EMPTY_KEY
+    ktab = jnp.where(live, pack_key(m.keys), jnp.int32(-1))
+    return PlanarTab(tab, ktab)

@@ -86,7 +86,9 @@ def _vmem_kernel_mode(cfg: MapConfig):
     from ..map.planar import planar_lanes  # local import: avoid cycle
 
     rows = ((cfg.slots + cfg.probes + 1 + 255) // 256) * 256
-    fits = rows * planar_lanes(cfg) * 4 <= 32 * 2**20
+    # VMEM: the resident point-plane table; SMEM: the packed-key row index
+    # (4 B/row) the kernel's scalar probe walks
+    fits = (rows * planar_lanes(cfg) * 4 <= 32 * 2**20) and (rows * 4 <= 256 * 2**10)
     return (fits and jax.default_backend() == "tpu"), False
 
 
@@ -156,17 +158,36 @@ def make_cand(res: KnnResult) -> CandCache:
 
 
 def knn_cand(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
-             C: int, cfg: MapConfig, tab: jnp.ndarray | None = None) -> CandCache:
-    """Probe the map for C candidates per query, returned as a CandCache."""
+             C: int, cfg: MapConfig, tab: jnp.ndarray | None = None,
+             k: int | None = None):
+    """Probe the map for C candidates per query, returned as a CandCache.
+
+    With `k`, also returns the k nearest as a KnnResult — FREE on the probe
+    pass: the candidate list is produced in ascending-distance order (k-pass
+    min selection), so the k-NN are its first k entries, no reselect needed.
+    """
     use_vmem, interpret = _vmem_kernel_mode(cfg)
     if use_vmem:
         from .vmem_knn import knn_vmem
 
         sq, planes, valid = knn_vmem(m, queries, qmask, C, cfg, tab=tab,
                                      interpret=interpret, return_planes=True)
-        return CandCache(planes[:, 0:C].T, planes[:, C:2 * C].T,
-                         planes[:, 2 * C:3 * C].T, valid.T)
-    return make_cand(knn(m, queries, qmask, C, cfg, tab=tab))
+        cache = CandCache(planes[:, 0:C].T, planes[:, C:2 * C].T,
+                          planes[:, 2 * C:3 * C].T, valid.T)
+        if k is None:
+            return cache
+        pts = jnp.stack([planes[:, 0:k], planes[:, C:C + k],
+                         planes[:, 2 * C:2 * C + k]], axis=-1)
+        vk = valid[:, :k]
+        res = KnnResult(jnp.where(vk[..., None], pts, 0.0),
+                        jnp.where(vk, sq[:, :k], _BIG), vk)
+        return cache, res
+    full = knn(m, queries, qmask, C, cfg, tab=tab)
+    cache = make_cand(full)
+    if k is None:
+        return cache
+    res = KnnResult(full.points[:, :k], full.sq_dists[:, :k], full.valid[:, :k])
+    return cache, res
 
 
 def knn_reselect(cand: CandCache, queries: jnp.ndarray, qmask: jnp.ndarray,

@@ -9,25 +9,34 @@ per association pass ≈ 3 ms, 10x off HBM speed-of-light. This kernel removes
 the gathers entirely:
 
   * the planar map table (map/planar.py) is a pipeline input with a constant
-    index map, so Pallas copies it HBM->VMEM ONCE per call (~10 µs at HBM
-    bandwidth for the production 8 MB table) and every grid step reuses it;
-  * per query tile, a scalar loop copies each query's octant probe windows
-    (P rows) VMEM->VMEM into a candidate buffer — on-chip reads, no DMA;
-  * key matching, distances, and the k-pass min selection are pure VPU work
-    on lane-aligned buffers;
+    index map, so Pallas copies it HBM->VMEM ONCE per call and every grid
+    step reuses it;
+  * the table's packed-key row index (PlanarTab.ktab) rides in SMEM, so the
+    SCALAR core resolves each (query, octant) probe window to the one
+    matching row — recomputing the probe base from the query's packed key
+    with the same avalanche hash the map uses (hash_map.hash_packed) — and
+    the copy loop moves exactly ONE (1, L) row per octant, VMEM->VMEM.
+    (The previous kernel copied the whole aligned probe-window superset —
+    16 rows per octant, 128 KB per query at B=64 — and key-matched them
+    vectorized afterwards: 16x the VMEM traffic plus a (T,M,W,L) match
+    phase. Resolving on the scalar core deletes both.)
+  * distances and the k-pass min selection are pure VPU work on the (T,M,PW)
+    candidate planes;
   * tiles whose queries are all invalid are skipped via a prefetched
     per-tile activity flag, so cost scales with the VALID feature count,
     not the padded capacity (features are packed to the front by
     pointcloud/voxel.voxel_downsample).
 
-Empty sub-voxels / failed probes carry the POISON_POINT coordinate and
-invalid queries POISON_QUERY (map/planar.py), so every non-geometric pairing
-has squared distance ~1e18 and falls out of the k-selection gate — no
-occupancy plane, no masks in the hot loop.
+Empty sub-voxels carry the POISON_POINT coordinate and failed probes resolve
+to the table's dump row (all poison), so every non-geometric pairing has
+squared distance ~1e18 and falls out of the k-selection gate — no occupancy
+plane, no masks in the hot loop. Invalid queries are poisoned at +1e9.
 
-Semantics match nn/knn.py exactly for valid queries (same candidate order,
-same f32 distance expression); parity is pinned by tests/test_vmem_knn.py in
-interpret mode and on device.
+Semantics match nn/knn.py exactly for valid queries up to packed-key
+aliasing (blocks 1024 block-sizes apart share a packed key; impossible under
+the rolling bound_map, and harmless beyond it — far candidates lose the
+distance selection). Parity is pinned by tests/test_vmem_knn.py in interpret
+mode and on device.
 """
 
 from __future__ import annotations
@@ -40,16 +49,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MapConfig
-from ..map.hash_map import HashVoxelMap, block_coords, probe_base
+from ..map.hash_map import block_coords, pack_key
 from ..map.planar import (POISON_POINT, POISON_QUERY, VALID_SQ_LIMIT,
-                          build_planar, planar_lanes, plane_width)
+                          PlanarTab, build_planar, planar_lanes, plane_width)
 
 _BIG = 1e30
 _TILE = 64  # queries per grid step
 
 
-def _kernel(act_ref, h_ref, nbr_ref, q_ref, tab_ref, d_out, p_out, cand,
-            *, T, M, W, PW, K, L, DL, PL):
+def _hash_scalar(pk, log2_slots):
+    """hash_map.hash_packed on kernel scalars — keep in sync with the map."""
+    u = pk & 0x7FFFFFFF
+    u = u ^ (u >> 15)
+    u = (u * 0x2C1B3C6D) & 0x7FFFFFFF
+    u = u ^ (u >> 12)
+    u = (u * 0x297A2D39) & 0x7FFFFFFF
+    u = u ^ (u >> 13)
+    return u & ((1 << log2_slots) - 1)
+
+
+def _kernel(act_ref, qk_ref, q_ref, tab_ref, ktab_ref, d_out, p_out, cand,
+            *, T, M, PW, K, L, DL, PL, PROBES, LOG2_SLOTS, DUMP):
     i = pl.program_id(0)
     active = act_ref[i] > 0
 
@@ -60,44 +80,31 @@ def _kernel(act_ref, h_ref, nbr_ref, q_ref, tab_ref, d_out, p_out, cand,
 
     @pl.when(active)
     def _():
-        # gather phase: probe windows for every (query, octant block) pair,
-        # scalar-indexed VMEM->VMEM copies (the whole table is resident).
-        # The true probe window [h, h+P) is unaligned (sliding chains share
-        # overflow capacity); the copy reads the aligned SUPERSET window
-        # [h & ~7, h & ~7 + W), W = P + 8 — Mosaic gets the provably
-        # 8-aligned sublane offset it needs, and the key match below ignores
-        # the extra rows (a block coord exists at most once in the table).
-        # Unrolled 8x: the loop is iteration-count-bound (scalar address
-        # formation + branch dominate the copy), not bandwidth-bound.
-        UNROLL = 8
+        # resolve + gather phase: for every (query, octant) pair the scalar
+        # core probes the SMEM packed-key index over the window [h, h+P) and
+        # copies the ONE matching row (or the poison dump row) VMEM->VMEM.
+        UNROLL = 4
         base = i * (T * M)
 
         def body(j4, _):
             for u in range(UNROLL):
                 j = j4 * UNROLL + u
-                hj = h_ref[base + j]
-                hb = pl.multiple_of((hj >> 3) << 3, 8)
-                cand[pl.ds(j * W, W), :] = tab_ref[pl.ds(hb, W), :]
+                kq = qk_ref[base + j]
+                h0 = _hash_scalar(kq, LOG2_SLOTS)
+                row = jnp.int32(DUMP)
+                for p in range(PROBES):  # static unroll: pure scalar ops
+                    row = jnp.where(ktab_ref[h0 + p] == kq, h0 + p, row)
+                cand[pl.ds(j, 1), :] = tab_ref[pl.ds(row, 1), :]
             return 0
 
         jax.lax.fori_loop(0, (T * M) // UNROLL, body, 0)
 
-        # match phase (vector): keep the probe row whose key matches
-        c = cand[:].reshape(T, M, W, L)
-        ckeys = pltpu.bitcast(c[:, :, :, 3 * PW:3 * PW + 3], jnp.int32)
-        tgt = nbr_ref[:].reshape(T, M, 1, 3)
-        eq = jnp.all(ckeys == tgt, axis=-1)  # (T,M,W)
-        w = eq.astype(jnp.float32)[..., None]  # f32 before the dim insert:
-        # Mosaic only supports minor-dim insertion on 32-bit types
-        row = jnp.sum(c * w, axis=2)  # (T,M,L) zeros where no probe matched
-        anyf = jnp.max(w, axis=2)  # (T,M,1) 1.0 where some probe matched
-        row = row * anyf + (1.0 - anyf) * POISON_POINT
-
         # candidate coordinate planes, kept 3D (T,M,B) — Mosaic cannot merge
         # the M dim into lanes, so selection runs hierarchically instead
-        X = row[:, :, 0:PW]
-        Y = row[:, :, PW:2 * PW]
-        Z = row[:, :, 2 * PW:3 * PW]
+        c = cand[:].reshape(T, M, L)
+        X = c[:, :, 0:PW]
+        Y = c[:, :, PW:2 * PW]
+        Z = c[:, :, 2 * PW:3 * PW]
         q = q_ref[:]
         qx = jnp.reshape(q[:, 0:1], (T, 1, 1))
         qy = jnp.reshape(q[:, 1:2], (T, 1, 1))
@@ -147,13 +154,13 @@ _OCT = _np.asarray(
 )
 
 
-def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
-             k: int, cfg: MapConfig, tab: jnp.ndarray | None = None,
+def knn_vmem(m, queries: jnp.ndarray, qmask: jnp.ndarray,
+             k: int, cfg: MapConfig, tab: PlanarTab | None = None,
              interpret: bool = False, return_planes: bool = False):
     """Drop-in octant8 KNN with the VMEM-resident kernel.
 
     Returns (sq_dists (N,k), points (N,k,3), valid (N,k)) — same contract as
-    nn/knn.knn. `tab` is the planar table from map/planar.build_planar; pass
+    nn/knn.knn. `tab` is the PlanarTab from map/planar.build_planar; pass
     it in when running several association passes against one map epoch.
 
     return_planes=True returns (sq, planes (N,3k) = [x...|y...|z...], valid)
@@ -161,7 +168,6 @@ def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
     128 on TPU) — the candidate-cache path (nn/knn.knn_cand) consumes this.
     """
     assert cfg.neighborhood == "octant8", "kernel covers the octant8 mode"
-    assert cfg.probes % 8 == 0, "superset windows need 8-aligned probe counts"
     N_in = queries.shape[0]
     T = _TILE
     if N_in % T:  # pad to a tile multiple; padded tiles are inactive
@@ -170,7 +176,7 @@ def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
             [queries, jnp.zeros((padn, 3), queries.dtype)], axis=0)
         qmask = jnp.concatenate([qmask, jnp.zeros((padn,), bool)], axis=0)
     N = queries.shape[0]
-    M, W, PW, L = 8, cfg.probes + 8, plane_width(cfg), planar_lanes(cfg)
+    M, PW, L = 8, plane_width(cfg), planar_lanes(cfg)
     # output lane widths, 8-aligned (K<=5 historically; K up to 16 serves the
     # candidate-cache association mode, nn/knn.knn_reselect)
     assert k <= 16, "kernel packs 3k point lanes; extend PL for larger k"
@@ -185,43 +191,44 @@ def knn_vmem(m: HashVoxelMap, queries: jnp.ndarray, qmask: jnp.ndarray,
     frac = queries / cfg.block_size - bc.astype(queries.dtype)
     sign = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)
     nbr = bc[:, None, :] + _OCT[None, :, :] * sign[:, None, :]  # (N,M,3)
-    h = probe_base(nbr.reshape(-1, 3), cfg)  # (N*M,) aligned bases
+    qk = pack_key(nbr).reshape(-1)  # (N*M,) packed probe keys
     act = jnp.any(qmask.reshape(-1, T), axis=1).astype(jnp.int32)
     q4 = jnp.concatenate([qp, jnp.zeros((N, 1), jnp.float32)], axis=1)
 
-    kernel = functools.partial(_kernel, T=T, M=M, W=W, PW=PW, K=k, L=L,
-                               DL=DL, PL=PL)
+    kernel = functools.partial(
+        _kernel, T=T, M=M, PW=PW, K=k, L=L, DL=DL, PL=PL,
+        PROBES=cfg.probes, LOG2_SLOTS=cfg.log2_slots,
+        DUMP=tab.tab.shape[0] - 1)
     d_out, p_out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # tile activity flags + probe bases (SMEM)
+            num_scalar_prefetch=2,  # tile activity flags + packed keys (SMEM)
             grid=(N // T,),
             in_specs=[
-                pl.BlockSpec((T * M, 3), lambda i, act, h: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, 4), lambda i, act, h: (i, 0),
+                pl.BlockSpec((T, 4), lambda i, act, qk: (i, 0),
                              memory_space=pltpu.VMEM),
                 # constant index map: copied in once, resident thereafter
-                pl.BlockSpec((tab.shape[0], L), lambda i, act, h: (0, 0),
+                pl.BlockSpec((tab.tab.shape[0], L), lambda i, act, qk: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ktab, whole array
             ],
             out_specs=[
-                pl.BlockSpec((T, DL), lambda i, act, h: (i, 0),
+                pl.BlockSpec((T, DL), lambda i, act, qk: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, PL), lambda i, act, h: (i, 0),
+                pl.BlockSpec((T, PL), lambda i, act, qk: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[pltpu.VMEM((T * M * W, L), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((T * M, L), jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((N, DL), jnp.float32),
             jax.ShapeDtypeStruct((N, PL), jnp.float32),
         ],
-        # the candidate scratch + match-phase temporaries exceed the default
-        # 16 MB scoped-vmem budget; v5e has 128 MB of VMEM
+        # the candidate scratch + selection temporaries exceed the default
+        # 16 MB scoped-vmem budget for big tables; v5e has 128 MB of VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(act, h.reshape(-1), nbr.reshape(-1, 3), q4, tab)
+    )(act, qk, q4, tab.tab, tab.ktab)
 
     sq = d_out[:N_in, :k]
     valid = sq < VALID_SQ_LIMIT

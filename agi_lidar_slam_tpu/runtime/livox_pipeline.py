@@ -63,7 +63,11 @@ class LivoxConfig:
     # hottest op (measured 10.2 ms per association pass at 4k queries vs
     # ~1 ms on the kernel; 3 passes/scan)
     other_map: MapConfig = MapConfig(sub_voxel=1.0, block_sub=4, log2_slots=13)
-    solver: SolverConfig = SolverConfig(n_outer=3, n_inner=2, degen_eig_thresh=10.0)
+    # n_inner=1: one relinearization per association pass — measured
+    # indistinguishable from n_inner=2 on the circle benchmark (mean err
+    # 0.255 vs 0.258 m) at ~8% less per-scan time
+    solver: SolverConfig = SolverConfig(n_outer=3, n_inner=1,
+                                        degen_eig_thresh=10.0, cand_k=8)
     corner_ds_voxel: float = 0.3
     surf_ds_voxel: float = 0.4
     use_dynamic_removal: bool = True
@@ -80,9 +84,21 @@ class LivoxConfig:
     # forever), 1 = gyro-only (IMU removes rotation distortion, estimation
     # stays LiDAR-only), 2 = tightly-coupled window LIO after MAP init
     imu_mode: int = 2
+    # fraction of the OLD window frame's features kept in the solve. The old
+    # frame was already optimized last sweep and is additionally pinned by
+    # the marginalization prior + IMU factor, so its lidar constraints are
+    # redundant at full density; features are front-packed (voxel_downsample)
+    # in spatial-hash order, so a prefix is a near-uniform spatial subsample,
+    # and the association kernel skips the fully-masked tail tiles. 1.0 = the
+    # reference's behavior (all window frames at full density).
+    old_frame_keep: float = 0.5
 
 
 class LivoxState(NamedTuple):
+    # NOTE: no device-array field defaults — a NamedTuple default is created
+    # ONCE at class definition and shared by every instance, so the first
+    # donated engine step would delete it for all later states (bit us with
+    # `mount`); every constructor passes all fields explicitly.
     ws: WindowState  # 2 frames: [previous, current]
     prior: MarginalPrior  # embedded over the full window (zeros on new frame)
     corners: PointBatch  # (2, Nc, 3) per-window-frame sensor-frame features
@@ -93,7 +109,7 @@ class LivoxState(NamedTuple):
     other_map: HashVoxelMap
     grav: jnp.ndarray
     frame: jnp.ndarray
-    mount: MountState = init_mount_state()
+    mount: MountState
 
 
 class LivoxResult(NamedTuple):
@@ -201,18 +217,17 @@ def _process_livox_body(
         bg=jnp.stack([state.ws.bg[1], state.ws.bg[1]]),
         ba=jnp.stack([state.ws.ba[1], state.ws.ba[1]]),
     )
-    corners = PointBatch(
-        jnp.stack([state.corners.xyz[1], corners_new.xyz]),
-        jnp.stack([state.corners.mask[1], corners_new.mask]),
-    )
-    surfs = PointBatch(
-        jnp.stack([state.surfs.xyz[1], surfs_new.xyz]),
-        jnp.stack([state.surfs.mask[1], surfs_new.mask]),
-    )
-    others = PointBatch(
-        jnp.stack([state.others.xyz[1], others_new.xyz]),
-        jnp.stack([state.others.mask[1], others_new.mask]),
-    )
+    def shift(old: PointBatch, new: PointBatch) -> PointBatch:
+        m_old = old.mask[1]
+        if cfg.old_frame_keep < 1.0:  # see LivoxConfig.old_frame_keep
+            n = m_old.shape[0]
+            m_old = m_old & (jnp.arange(n) < int(n * cfg.old_frame_keep))
+        return PointBatch(jnp.stack([old.xyz[1], new.xyz]),
+                          jnp.stack([m_old, new.mask]))
+
+    corners = shift(state.corners, corners_new)
+    surfs = shift(state.surfs, surfs_new)
+    others = shift(state.others, others_new)
     preints = jax.tree.map(lambda x: x[None], pre)
     okw = dict(others=others, other_map=state.other_map, omap_cfg=cfg.other_map,
                nonfeature_weight=cfg.nonfeature_weight) if cfg.use_nonfeature else {}
@@ -381,6 +396,7 @@ class LivoxDriver:
             # copy: the engine donates its state, and init_result must stay
             # readable by the host after engagement
             grav=jnp.array(init.grav), frame=jnp.int32(len(self._poses)),
+            mount=init_mount_state(),
         )
         self.engaged = True
         self._lo = None
