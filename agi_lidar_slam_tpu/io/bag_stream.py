@@ -32,6 +32,40 @@ _NAVSAT = "sensor_msgs/NavSatFix"
 _TIME_FIELDS = ("time", "t", "timestamp", "time_offset", "offset_time")
 
 
+def _rel_times(f) -> Tuple[Optional[np.ndarray], str]:
+    """Per-point relative sweep times with DEDICATED per-lidar conventions —
+    the re-design of S-FAST_LIO's per-type handlers (preprocess.h:47-111):
+
+    * Ouster: `t` is uint32 NANOSECONDS from frame start (oust64 handler,
+      `pl.t / 1e9` in the reference) — detected by the integer dtype;
+    * RoboSense: `timestamp` is float64 ABSOLUTE epoch seconds per point
+      (rs handler subtracts the frame stamp) — detected by the epoch-scale
+      magnitude. A generic ns-heuristic mis-read this as nanoseconds and
+      collapsed all deskew times to ~0;
+    * Velodyne: `time` is float32 seconds relative to the frame reference
+      (may be negative for end-referenced drivers; shifted to start at 0);
+    * generic fallbacks for other drivers (relative seconds or ns offsets).
+
+    Returns (rel_times (N,) f64 from sweep start, convention tag)."""
+    def rebase(t):  # shift to start at 0 (no `initial=`: it would CLAMP the
+        return t - (t.min() if t.size else 0.0)  # min and skip the rebase)
+
+    if "t" in f and np.issubdtype(f["t"].dtype, np.integer):
+        return rebase(f["t"].astype(np.float64) * 1e-9), "ouster_t_ns"
+    if "timestamp" in f:
+        ts = f["timestamp"].astype(np.float64)
+        if ts.size and ts.max() > 1e6:  # absolute epoch seconds
+            return rebase(ts), "rs_timestamp_abs_s"
+        return rebase(ts), "timestamp_rel_s"
+    for name in _TIME_FIELDS:
+        if name in f:
+            t = f[name].astype(np.float64)
+            if t.size and t.max() > 1e6:  # ns-scale offsets
+                t = t * 1e-9
+            return rebase(t), name
+    return None, "none"
+
+
 @dataclasses.dataclass
 class SweepBundle:
     """One lidar sweep + the IMU samples since the previous sweep."""
@@ -129,14 +163,7 @@ def stream_bag(
                 lidar_topic = topic
             f = rb.decode_pointcloud2(raw)
             xyz = np.stack([f["x"], f["y"], f["z"]], axis=1).astype(np.float32)
-            rel_t = None
-            for name in _TIME_FIELDS:
-                if name in f:
-                    rel_t = f[name].astype(np.float64)
-                    if rel_t.max(initial=0.0) > 1e6:  # ns-scale stamps
-                        rel_t = rel_t * 1e-9
-                    rel_t = rel_t - rel_t.min(initial=0.0)
-                    break
+            rel_t, _conv = _rel_times(f)
             if rel_t is None:
                 rel_t = np.linspace(0.0, 0.1, len(xyz), endpoint=False)
             ring = f["ring"].astype(np.int32) if "ring" in f else None

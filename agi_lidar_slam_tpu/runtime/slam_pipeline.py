@@ -170,16 +170,36 @@ def _correct_and_rebuild(bank: KeyframeBank, edges: EdgeSet, engine: EngineState
     correction = se3.compose(new_last, se3.inverse(old_last))
     bank2 = bank._replace(q=new_poses.q, t=new_poses.t)
 
-    # rebuild both maps from corrected keyframe clouds (batched insert)
+    # rebuild both maps from corrected keyframe clouds. CHUNKED (lax.scan
+    # over keyframe groups): a single (capacity x features) batched insert
+    # materializes (K*N*probes, 3) int32 temporaries whose 3-lane minor dim
+    # pads 42.7x under the TPU (8,128) tiling — 16 GB of HBM at the HDL-64
+    # preset (1024 keyframes x 8192 surfs), a hard OOM on a 16 GB chip.
+    # Chunking bounds the working set to one group while XLA pipelines the
+    # sequential inserts.
     K = bank2.capacity
     live = (jnp.arange(K) < bank2.count)[:, None]
     R = so3.quat_to_matrix(bank2.q)
     cw = jnp.einsum("kij,knj->kni", R, bank2.corner_xyz) + bank2.t[:, None, :]
     sw = jnp.einsum("kij,knj->kni", R, bank2.surf_xyz) + bank2.t[:, None, :]
-    cmap = insert(empty_map(cfg.pipeline.corner_map), cw.reshape(-1, 3),
-                  (bank2.corner_mask & live).reshape(-1), cfg.pipeline.corner_map)
-    smap = insert(empty_map(cfg.pipeline.surf_map), sw.reshape(-1, 3),
-                  (bank2.surf_mask & live).reshape(-1), cfg.pipeline.surf_map)
+
+    def chunked_insert(xyz_k, mask_k, map_cfg, groups=32):
+        g = max(1, K // groups)
+        n_g = (K + g - 1) // g
+        pad = n_g * g - K
+        N = xyz_k.shape[1]
+        xyz_c = jnp.pad(xyz_k, ((0, pad), (0, 0), (0, 0))).reshape(n_g, g * N, 3)
+        mask_c = jnp.pad(mask_k, ((0, pad), (0, 0))).reshape(n_g, g * N)
+
+        def body(m, inp):
+            x, msk = inp
+            return insert(m, x, msk, map_cfg), None
+
+        m, _ = jax.lax.scan(body, empty_map(map_cfg), (xyz_c, mask_c))
+        return m
+
+    cmap = chunked_insert(cw, bank2.corner_mask & live, cfg.pipeline.corner_map)
+    smap = chunked_insert(sw, bank2.surf_mask & live, cfg.pipeline.surf_map)
     if cfg.pipeline.bound_radius > 0:
         center = se3.compose(correction, engine.pose).t
         cmap = bound_map(cmap, center, cfg.pipeline.bound_radius,

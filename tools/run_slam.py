@@ -39,9 +39,16 @@ def _pipeline_cfg(name: str):
 
 
 def _gate_exit(args, summary: dict) -> int:
-    """Apply --gate: compare the run summary to the envelope, print the
+    """Write --summary-out, then apply --gate: compare the run summary to
+    the envelope, print the
     verdict, and return the process exit code (2 on breach — the one-command
     accuracy gate for dataset parity runs)."""
+    if getattr(args, "summary_out", None):
+        import json
+
+        with open(args.summary_out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print("summary written:", args.summary_out)
     if not getattr(args, "gate", None):
         return 0
     from agi_lidar_slam_tpu.eval.metrics import check_envelope, load_envelope
@@ -114,6 +121,9 @@ def main() -> int:
     ap.add_argument("--max-scans", type=int, default=None)
     ap.add_argument("--width", type=int, default=1800)
     ap.add_argument("--metrics", help="JSONL metrics output path")
+    ap.add_argument("--summary-out",
+                    help="write the run summary (scans/s, ATE, KITTI drift) "
+                         "as JSON — the machine-checkable drift artifact")
     ap.add_argument("--save-map", help="directory for PCD map export")
     ap.add_argument("--traj-out", help="trajectory output (KITTI format)")
     ap.add_argument("--no-imu-deskew", action="store_true",

@@ -82,6 +82,8 @@ def main() -> int:
     n_max = args.devices or len(all_devs)
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_max]
     results = {}
+    import functools
+
     for n in counts:
         mesh = Mesh(all_devs[:n], axis_names=("dp",))
         c = replicate(tile_n(corners, n) if args.weak else corners, mesh)
@@ -90,15 +92,17 @@ def main() -> int:
         sm = replicate(smap, mesh)
         p0 = replicate(p, mesh)
 
-        def step():
-            pose, stats = sharded_gn_solve(mesh, p0, c, s, cm, sm, cfg)
-            return pose
+        # jit ONCE per device count: rebuilding the shard_map closure per
+        # call retraces/recompiles every rep, so earlier revisions measured
+        # COMPILE time, not step time (SCALING_r02's numbers carry that bug;
+        # its caveat about virtual devices still applies here)
+        step = jax.jit(functools.partial(sharded_gn_solve, mesh, cfg=cfg))
 
-        out = step()
+        out, _ = step(p0, c, s, cm, sm)
         float(out.t[0])  # compile + sync
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            out = step()
+            out, _ = step(p0, c, s, cm, sm)
         float(out.t[0])
         dt = (time.perf_counter() - t0) / args.reps
         results[n] = dt
