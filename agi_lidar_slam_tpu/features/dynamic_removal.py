@@ -41,10 +41,13 @@ class DynamicRemovalConfig(NamedTuple):
     n_prop_rounds: int = 4
     # azimuth-column stride for the BEV statistics scatters (zmin / cellmax):
     # the XLA TPU scatter is the stage's bottleneck and scales with the point
-    # count, while the cell stats saturate well below full density (azimuth
-    # spacing at 50 m is ~9 cm vs the 0.4 m cell). Classification of EVERY
-    # point (the gathers) stays full-resolution. 1 = no decimation.
-    stats_stride: int = 2
+    # count, while the cell stats saturate well below full density on DENSE
+    # scans (HDL-64 azimuth spacing at 50 m is ~9 cm vs the 0.4 m cell).
+    # Classification of EVERY point (the gathers) stays full-resolution.
+    # Default 1 (no decimation): at 16-beam density the decimated occupancy
+    # measurably under-segments small movers; the HDL-64 livox config opts
+    # into 2.
+    stats_stride: int = 1
 
     @property
     def grid(self) -> int:

@@ -75,7 +75,9 @@ class LivoxConfig:
     # mount-angle self-calibration (pointsCorrect.cpp): EMA'd ground-normal
     # estimate rotates the cloud level before segmentation/features
     use_mount_calib: bool = False
-    dynamic: DynamicRemovalConfig = DynamicRemovalConfig()
+    # stats_stride=2: decimated BEV statistics are safe at HDL-64 density
+    # (see DynamicRemovalConfig.stats_stride) and halve the scatter cost
+    dynamic: DynamicRemovalConfig = DynamicRemovalConfig(stats_stride=2)
     imu_noise: ImuNoise = ImuNoise()
     lidar_weight: float = 30.0
     nonfeature_weight: float = 10.0

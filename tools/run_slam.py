@@ -92,6 +92,11 @@ def main() -> int:
                     help="bag GPS topic (nav_msgs/Odometry or NavSatFix); "
                          "adds unary GPS factors in slam/liosam engines "
                          "(LIO-SAM gpsTopic)")
+    ap.add_argument("--navsat", action="store_true",
+                    help="fuse IMU+GPS through the navsat ESKF "
+                         "(imu/navsat.py) and feed the SMOOTHED odometry to "
+                         "the GPS factors — the reference's ekf_gps stage "
+                         "(LIO-SAM launch/run.launch)")
     ap.add_argument("--gps-cov-thresh", type=float, default=2.0,
                     help="skip GPS fixes whose position covariance exceeds "
                          "this (LIO-SAM gpsCovThreshold)")
@@ -575,14 +580,37 @@ def _run_bag(args) -> int:
                          jnp.asarray(b.imu_dt), jnp.asarray(b.imu_mask))
 
     n_gps_used = 0
+    navsat = None
+    if args.gps_topic and getattr(args, "navsat", False):
+        from agi_lidar_slam_tpu.imu.navsat import NavsatFilter
+
+        navsat = NavsatFilter()
 
     def gps_of(b):
         """Covariance-gated GPS fix for the factor graph (addGPSFactor's
         gpsCovThreshold gate, mapOptmization.cpp:1894-1896). Returns
         (position, information weight): the reference builds each factor's
         noise from the fix covariance floored at 1 m^2 (:1932-1941), so the
-        weight is 1/max(var, 1)."""
+        weight is 1/max(var, 1).
+
+        With --navsat the raw fixes first pass through the GPS+IMU ESKF
+        (imu/navsat.py) — the robot_localization ekf_gps stage of the
+        reference's launch graph — and the SMOOTHED odometry feeds the
+        factor instead."""
         nonlocal n_gps_used
+        if navsat is not None:
+            fix = fix_cov = None
+            if b.gps is not None:
+                fix = np.asarray(b.gps, np.float32)
+                fix_cov = (np.asarray(b.gps_cov, np.float32)
+                           if b.gps_cov is not None else None)
+            pos, cov = navsat.step(b.imu_gyro, b.imu_acc, b.imu_dt,
+                                   b.imu_mask, fix=fix, fix_cov=fix_cov)
+            var = float(np.max(np.asarray(cov)[:2]))
+            if var > args.gps_cov_thresh:
+                return None
+            n_gps_used += 1
+            return (pos, 1.0 / max(var, 1.0))
         if b.gps is None:
             return None
         var = 0.0
