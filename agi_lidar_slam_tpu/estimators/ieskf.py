@@ -52,6 +52,14 @@ class IeskfConfig(NamedTuple):
     # the iterated update. 0 disables (per-iteration re-probe, as the
     # reference's per-iteration ikd-Tree searches, esekfom.hpp:141).
     cand_k: int = 8
+    # cache "skin distance" (same guard as SolverConfig.cand_refresh): when
+    # an IESKF correction moves the effective query positions more than this
+    # (|dp| + 30 m lever * |dtheta|) since the probe, a lax.cond re-probes
+    # the map instead of re-ranking a stale neighborhood — a large correction
+    # (bad IMU prediction, aggressive motion) would otherwise converge
+    # against wrong planes, where the reference re-searches the ikd-tree
+    # every iteration (esekfom.hpp:141).
+    cand_refresh: float = 0.3
     # online lidar-IMU extrinsic estimation (the reference's extrinsic_est_en,
     # laserMapping.cpp param, esekfom.hpp:150-160: H's dtheta_li/dt_li columns
     # are zeroed when off). Default OFF as in every reference launch file —
@@ -148,17 +156,25 @@ def update_iterated(
         return jax.lax.psum(v, axis_name) if axis_name else v
 
     # candidate cache: ONE map probe at the propagated state; the iterated
-    # update re-ranks it (pose moves mm-cm per IESKF iteration)
-    cand = None
-    if cfg.cand_k >= cfg.k_neighbors:
+    # update re-ranks it (pose moves mm-cm per IESKF iteration). The cache
+    # carries its probe pose so a large correction triggers a re-probe
+    # (cand_refresh skin distance) instead of re-ranking a stale
+    # neighborhood — mirroring gn_scan2map.associate_cached.
+    use_cache = cfg.cand_k >= cfg.k_neighbors
+    if use_cache:
         from ..nn.knn import knn_cand
 
-        R_li0 = so3.quat_to_matrix(x_prop.q_li)
-        R0 = so3.quat_to_matrix(x_prop.q)
-        world0 = (pts_l.xyz @ R_li0.T + x_prop.t_li) @ R0.T + x_prop.p
-        cand = knn_cand(smap, world0, pts_l.mask, cfg.cand_k, map_cfg)
+        def probe_at(x):
+            R_li0 = so3.quat_to_matrix(x.q_li)
+            R0 = so3.quat_to_matrix(x.q)
+            world0 = (pts_l.xyz @ R_li0.T + x.t_li) @ R0.T + x.p
+            return knn_cand(smap, world0, pts_l.mask, cfg.cand_k, map_cfg)
 
-    def reduce_h(x):
+        cand0 = probe_at(x_prop)
+    else:
+        cand0 = None
+
+    def reduce_h(x, cand):
         """Association + linearization on the local shard, psum-completed.
         Returns (HtH 12x12, Htr 12, n_ok, sum r^2) — everything the solve and
         the covariance update need; H itself never leaves the shard."""
@@ -170,8 +186,24 @@ def update_iterated(
     Z12 = jnp.zeros((12, 12))
 
     def body(carry):
-        i, x, _, _, _, _ = carry
-        HtH, Htr, n_ok, sq = reduce_h(x)
+        i, x, _, _, _, _, cache = carry
+        if use_cache:
+            cand, pq, pp = cache
+            # staleness guard: effective query motion since the probe
+            # (|dp| + 30 m lever * |dtheta|, the gn_scan2map metric)
+            from ..geometry import se3
+            from .gn_scan2map import _cache_motion
+
+            moved = _cache_motion(se3.Pose(x.q, x.p), pq, pp)
+            cand, pq, pp = jax.lax.cond(
+                moved > cfg.cand_refresh,
+                lambda: (probe_at(x), x.q, x.p),
+                lambda: (cand, pq, pp),
+            )
+            cache = (cand, pq, pp)
+        else:
+            cand = None
+        HtH, Htr, n_ok, sq = reduce_h(x, cand)
         A = P_inv.at[:12, :12].add(HtH)
         # dx solves A dx = -(H^T r / Rm + P^-1 (x [-] x_prop))
         dxp = boxminus(x, x_prop)
@@ -179,18 +211,19 @@ def update_iterated(
         L = jnp.linalg.cholesky(A + 1e-6 * jnp.eye(DIM))
         dx = jax.scipy.linalg.cho_solve((L, True), rhs)
         x_new = boxplus(x, dx)
-        return i + 1, x_new, jnp.linalg.norm(dx), HtH, n_ok, sq
+        return i + 1, x_new, jnp.linalg.norm(dx), HtH, n_ok, sq, cache
 
     def keep_going(carry):
         # the reference's convergence exit: stop once |dx| < eps, capped at
         # max_iters (update_iterated_dyn_share_modified, esekfom.hpp:292-334)
-        i, _, dx_norm, _, _, _ = carry
+        i, _, dx_norm, _, _, _, _ = carry
         return (i < cfg.max_iters) & ((i == 0) | (dx_norm >= cfg.converge_eps))
 
-    _, x, _, HtH, n_ok, sq = jax.lax.while_loop(
+    cache0 = (cand0, x_prop.q, x_prop.p) if use_cache else ()
+    _, x, _, HtH, n_ok, sq, _ = jax.lax.while_loop(
         keep_going, body,
         (jnp.int32(0), x_prop, jnp.float32(jnp.inf), Z12, jnp.int32(0),
-         jnp.float32(0.0)),
+         jnp.float32(0.0), cache0),
     )
     rms = jnp.sqrt(sq / jnp.maximum(n_ok, 1))
     # final covariance from the last linearization. The reference uses

@@ -53,9 +53,18 @@ def _rel_times(f) -> Tuple[Optional[np.ndarray], str]:
     if "t" in f and np.issubdtype(f["t"].dtype, np.integer):
         return rebase(f["t"].astype(np.float64) * 1e-9), "ouster_t_ns"
     if "timestamp" in f:
-        ts = f["timestamp"].astype(np.float64)
-        if ts.size and ts.max() > 1e6:  # absolute epoch seconds
+        raw = f["timestamp"]
+        ts = raw.astype(np.float64)
+        # absolute epoch seconds are ~1.7e9 and f64 in the RoboSense driver;
+        # integer or ~1e6..1e9-magnitude values are ns OFFSETS from frame
+        # start (a 0.1 s sweep spans up to ~1e8 ns) — the old >1e6 cut
+        # mis-read those as epoch seconds and produced ~1e8-second deskew
+        # times
+        if (ts.size and ts.max() > 1e9
+                and np.issubdtype(raw.dtype, np.floating)):
             return rebase(ts), "rs_timestamp_abs_s"
+        if ts.size and ts.max() > 1e6:  # ns-scale offsets
+            return rebase(ts * 1e-9), "timestamp_ns"
         return rebase(ts), "timestamp_rel_s"
     for name in _TIME_FIELDS:
         if name in f:

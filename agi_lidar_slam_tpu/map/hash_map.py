@@ -108,8 +108,8 @@ def hash_packed(pk: jnp.ndarray, log2_slots: int) -> jnp.ndarray:
     coordinates, so small symmetric coordinates — exactly what a near-origin
     scan produces — collide in structured families, and the probe windows
     turn those collisions into dropped blocks at a few percent table load.
-    int32 wraparound is deterministic on XLA; nn/vmem_knn.py re-implements
-    this EXACT sequence on the Pallas scalar core — keep them in sync."""
+    int32 wraparound is deterministic on XLA; nn/vmem_knn.py prefetches
+    these hashes into its kernel as the SMEM probe bases."""
     u = pk & jnp.int32(0x7FFFFFFF)
     u = u ^ (u >> 15)
     u = (u * jnp.int32(0x2C1B3C6D)) & jnp.int32(0x7FFFFFFF)

@@ -13,9 +13,10 @@ the gathers entirely:
     step reuses it;
   * the table's packed-key row index (PlanarTab.ktab) rides in SMEM, so the
     SCALAR core resolves each (query, octant) probe window to the one
-    matching row — recomputing the probe base from the query's packed key
-    with the same avalanche hash the map uses (hash_map.hash_packed) — and
-    the copy loop moves exactly ONE (1, L) row per octant, VMEM->VMEM.
+    matching row — the probe BASES are hashed on the VPU outside the kernel
+    (hash_map.hash_packed) and prefetched alongside the keys, keeping the
+    scalar loop to load/compare/copy — and the copy loop moves exactly ONE
+    (1, L) row per octant, VMEM->VMEM.
     (The previous kernel copied the whole aligned probe-window superset —
     16 rows per octant, 128 KB per query at B=64 — and key-matched them
     vectorized afterwards: 16x the VMEM traffic plus a (T,M,W,L) match
@@ -49,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MapConfig
-from ..map.hash_map import block_coords, pack_key
+from ..map.hash_map import block_coords, hash_packed, pack_key
 from ..map.planar import (POISON_POINT, POISON_QUERY, VALID_SQ_LIMIT,
                           PlanarTab, build_planar, planar_lanes, plane_width)
 
@@ -57,19 +58,8 @@ _BIG = 1e30
 _TILE = 64  # queries per grid step
 
 
-def _hash_scalar(pk, log2_slots):
-    """hash_map.hash_packed on kernel scalars — keep in sync with the map."""
-    u = pk & 0x7FFFFFFF
-    u = u ^ (u >> 15)
-    u = (u * 0x2C1B3C6D) & 0x7FFFFFFF
-    u = u ^ (u >> 12)
-    u = (u * 0x297A2D39) & 0x7FFFFFFF
-    u = u ^ (u >> 13)
-    return u & ((1 << log2_slots) - 1)
-
-
-def _kernel(act_ref, qk_ref, q_ref, tab_ref, ktab_ref, d_out, p_out, cand,
-            *, T, M, PW, K, L, DL, PL, PROBES, LOG2_SLOTS, DUMP):
+def _kernel(act_ref, qk_ref, qh_ref, q_ref, tab_ref, ktab_ref, d_out, p_out,
+            cand, planes, *, T, M, PW, K, L, DL, PL, PROBES, LOG2_SLOTS, DUMP):
     i = pl.program_id(0)
     active = act_ref[i] > 0
 
@@ -90,7 +80,10 @@ def _kernel(act_ref, qk_ref, q_ref, tab_ref, ktab_ref, d_out, p_out, cand,
             for u in range(UNROLL):
                 j = j4 * UNROLL + u
                 kq = qk_ref[base + j]
-                h0 = _hash_scalar(kq, LOG2_SLOTS)
+                # probe base prefetched: the VPU hashes all keys in one pass
+                # on the XLA side, saving the ~8-op avalanche per iteration
+                # of this scalar-issue-bound loop
+                h0 = qh_ref[base + j]
                 row = jnp.int32(DUMP)
                 for p in range(PROBES):  # static unroll: pure scalar ops
                     row = jnp.where(ktab_ref[h0 + p] == kq, h0 + p, row)
@@ -99,43 +92,43 @@ def _kernel(act_ref, qk_ref, q_ref, tab_ref, ktab_ref, d_out, p_out, cand,
 
         jax.lax.fori_loop(0, (T * M) // UNROLL, body, 0)
 
-        # candidate coordinate planes, kept 3D (T,M,B) — Mosaic cannot merge
-        # the M dim into lanes, so selection runs hierarchically instead
+        # candidate planes flattened to LANE space (T, M*PW): a direct
+        # (T*M, L) -> (T, M*L) reshape is a cross-sublane relayout Mosaic
+        # can't do in registers (and tpu.concatenate refuses inputs with
+        # mismatched sublane offsets), but STORES relayout — M static strided
+        # row-slices written through the `planes` scratch assemble the same
+        # thing. The previous hierarchical (T, M, PW) selection kept PW=64 <
+        # the 128-lane tile — half the VPU idle and every pass paying 3D
+        # reduction overhead (measured: selection phase 2.7 ms of the 4.2 ms
+        # kernel at 8192 queries; lane-space selection runs the same math in
+        # (T, M*PW)).
         c = cand[:].reshape(T, M, L)
-        X = c[:, :, 0:PW]
-        Y = c[:, :, PW:2 * PW]
-        Z = c[:, :, 2 * PW:3 * PW]
+        for m in range(M):
+            planes[:, m * PW:(m + 1) * PW] = c[:, m, 0:PW]
+            planes[:, (M + m) * PW:(M + m + 1) * PW] = c[:, m, PW:2 * PW]
+            planes[:, (2 * M + m) * PW:(2 * M + m + 1) * PW] = c[:, m, 2 * PW:3 * PW]
+        Xs = planes[:, 0:M * PW]
+        Ys = planes[:, M * PW:2 * M * PW]
+        Zs = planes[:, 2 * M * PW:3 * M * PW]
         q = q_ref[:]
-        qx = jnp.reshape(q[:, 0:1], (T, 1, 1))
-        qy = jnp.reshape(q[:, 1:2], (T, 1, 1))
-        qz = jnp.reshape(q[:, 2:3], (T, 1, 1))
-        d2 = (X - qx) ** 2 + (Y - qy) ** 2 + (Z - qz) ** 2  # (T,M,B)
+        d2 = ((Xs - q[:, 0:1]) ** 2 + (Ys - q[:, 1:2]) ** 2
+              + (Zs - q[:, 2:3]) ** 2)  # (T, M*PW)
 
-        # k-pass min selection: argmin within each block (lanes), then argmin
-        # across blocks; winners extracted by one-hot masked sums (tie-safe:
-        # argmin picks the first index, like the XLA path)
-        col_b = jax.lax.broadcasted_iota(jnp.int32, (T, PW), 1)
-        col_m = jax.lax.broadcasted_iota(jnp.int32, (T, M), 1)
+        # k-pass min selection in lane space; winners extracted by one-hot
+        # masked sums (tie-safe: argmin picks the first index, matching the
+        # XLA path — (m, b) lane order equals the 3D (T,M,PW) scan order)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (T, M * PW), 1)
         dv, px, py, pz = [], [], [], []
         for _k in range(K):
-            vm = jnp.min(d2, axis=2)  # (T,M)
-            im = jnp.argmin(d2, axis=2)  # (T,M)
-            mstar = jnp.argmin(vm, axis=1)  # (T,)
-            one_m = (col_m == mstar[:, None])  # (T,M)
-            v = jnp.sum(jnp.where(one_m, vm, 0.0), axis=1, keepdims=True)
-            istar = jnp.sum(jnp.where(one_m, im, 0), axis=1)  # (T,)
-            one_b = (col_b == istar[:, None])  # (T,PW)
-            one_mf = one_m.astype(jnp.float32)[:, :, None]  # (T,M,1)
-            one_bf = one_b.astype(jnp.float32)  # (T,PW)
-            sel2f = one_mf * jnp.reshape(one_bf, (T, 1, PW))  # (T,M,PW)
-            Xm = jnp.sum(X * one_mf, axis=1)  # (T,PW)
-            Ym = jnp.sum(Y * one_mf, axis=1)
-            Zm = jnp.sum(Z * one_mf, axis=1)
-            px.append(jnp.sum(Xm * one_bf, axis=1, keepdims=True))
-            py.append(jnp.sum(Ym * one_bf, axis=1, keepdims=True))
-            pz.append(jnp.sum(Zm * one_bf, axis=1, keepdims=True))
+            v = jnp.min(d2, axis=1, keepdims=True)  # (T,1)
+            istar = jnp.argmin(d2, axis=1)  # (T,)
+            one = cols == istar[:, None]  # (T, M*PW)
+            onef = one.astype(jnp.float32)
+            px.append(jnp.sum(Xs * onef, axis=1, keepdims=True))
+            py.append(jnp.sum(Ys * onef, axis=1, keepdims=True))
+            pz.append(jnp.sum(Zs * onef, axis=1, keepdims=True))
             dv.append(v)
-            d2 = jnp.where(sel2f > 0.5, _BIG, d2)
+            d2 = jnp.where(one, _BIG, d2)
 
         zpad_d = [jnp.zeros((T, DL - K), jnp.float32)] if DL > K else []
         zpad_p = [jnp.zeros((T, PL - 3 * K), jnp.float32)] if PL > 3 * K else []
@@ -192,6 +185,7 @@ def knn_vmem(m, queries: jnp.ndarray, qmask: jnp.ndarray,
     sign = jnp.where(frac >= 0.5, 1, -1).astype(jnp.int32)
     nbr = bc[:, None, :] + _OCT[None, :, :] * sign[:, None, :]  # (N,M,3)
     qk = pack_key(nbr).reshape(-1)  # (N*M,) packed probe keys
+    qh = hash_packed(qk, cfg.log2_slots)  # probe bases, hashed on the VPU
     act = jnp.any(qmask.reshape(-1, T), axis=1).astype(jnp.int32)
     q4 = jnp.concatenate([qp, jnp.zeros((N, 1), jnp.float32)], axis=1)
 
@@ -202,23 +196,27 @@ def knn_vmem(m, queries: jnp.ndarray, qmask: jnp.ndarray,
     d_out, p_out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # tile activity flags + packed keys (SMEM)
+            # tile activity flags + packed keys + probe bases (SMEM)
+            num_scalar_prefetch=3,
             grid=(N // T,),
             in_specs=[
-                pl.BlockSpec((T, 4), lambda i, act, qk: (i, 0),
+                pl.BlockSpec((T, 4), lambda i, act, qk, qh: (i, 0),
                              memory_space=pltpu.VMEM),
                 # constant index map: copied in once, resident thereafter
-                pl.BlockSpec((tab.tab.shape[0], L), lambda i, act, qk: (0, 0),
+                pl.BlockSpec((tab.tab.shape[0], L),
+                             lambda i, act, qk, qh: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # ktab, whole array
             ],
             out_specs=[
-                pl.BlockSpec((T, DL), lambda i, act, qk: (i, 0),
+                pl.BlockSpec((T, DL), lambda i, act, qk, qh: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, PL), lambda i, act, qk: (i, 0),
+                pl.BlockSpec((T, PL), lambda i, act, qk, qh: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[pltpu.VMEM((T * M, L), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((T * M, L), jnp.float32),
+                            pltpu.VMEM((T, 3 * M * plane_width(cfg)),
+                                       jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((N, DL), jnp.float32),
@@ -228,7 +226,7 @@ def knn_vmem(m, queries: jnp.ndarray, qmask: jnp.ndarray,
         # 16 MB scoped-vmem budget for big tables; v5e has 128 MB of VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(act, qk, q4, tab.tab, tab.ktab)
+    )(act, qk, qh, q4, tab.tab, tab.ktab)
 
     sq = d_out[:N_in, :k]
     valid = sq < VALID_SQ_LIMIT

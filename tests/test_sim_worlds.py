@@ -96,6 +96,40 @@ class TestMovers:
         if far_wall.sum():
             assert (keep & far_wall).sum() > 0.8 * far_wall.sum()
 
+    def test_decimated_stats_keep_unsampled_tall_points(self):
+        """stats_stride=2 regression (ADVICE r4, high): a cell whose strided
+        stats samples are all GROUND must not mark its (unsampled) tall
+        static content as foreground — the sentinel cluster for cells
+        unoccupied in the decimated occupancy fails SAFE (keep)."""
+        W = 8
+        xyz = np.zeros((1, W, 3), np.float32)
+        xyz[..., :2] = 0.5  # all points in one BEV cell
+        # even azimuth columns (the stride-2 stats samples): ground returns;
+        # odd columns: a 5 m pole — tall static structure (a corner feature)
+        xyz[0, 1::2, 2] = 5.0
+        from agi_lidar_slam_tpu.pointcloud.cloud import ScanGrid
+        scan = ScanGrid(jnp.asarray(xyz), jnp.ones((1, W), bool),
+                        jnp.zeros((1, W), jnp.float32))
+        cfg = DynamicRemovalConfig(cell=1.0, half_extent=4.0, stats_stride=2)
+        keep = np.asarray(remove_dynamic(scan, cfg))
+        assert keep.all(), f"unsampled tall static points removed: {keep}"
+        # stride=1 control: same points, fully-sampled stats — also all kept
+        # (footprint-1 cluster but 5 m tall -> background via the height gate)
+        keep1 = np.asarray(remove_dynamic(
+            scan, DynamicRemovalConfig(cell=1.0, half_extent=4.0)))
+        assert keep1.all(), keep1
+        # and a LOW small cluster sampled by the stats IS still removed at
+        # stride 2: 1 m-high returns on both column parities
+        xyz2 = np.zeros((1, W, 3), np.float32)
+        xyz2[..., :2] = 0.5
+        xyz2[0, :, 2] = np.where(np.arange(W) % 4 < 2, 0.0, 1.0)
+        scan2 = ScanGrid(jnp.asarray(xyz2), jnp.ones((1, W), bool),
+                         jnp.zeros((1, W), jnp.float32))
+        keep2 = np.asarray(remove_dynamic(scan2, cfg))
+        low = xyz2[..., 2] > 0.5
+        assert not keep2[low].any(), keep2
+        assert keep2[~low].all(), keep2  # the ground returns stay
+
     def test_tracking_with_movers(self):
         """The odom engine stays within ATE bounds while two cars drive
         through the scene (most returns are static structure)."""
