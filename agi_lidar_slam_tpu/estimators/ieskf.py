@@ -156,10 +156,7 @@ def update_iterated(
         return jax.lax.psum(v, axis_name) if axis_name else v
 
     # candidate cache: ONE map probe at the propagated state; the iterated
-    # update re-ranks it (pose moves mm-cm per IESKF iteration). The cache
-    # carries its probe pose so a large correction triggers a re-probe
-    # (cand_refresh skin distance) instead of re-ranking a stale
-    # neighborhood — mirroring gn_scan2map.associate_cached.
+    # update re-ranks it (pose moves mm-cm per IESKF iteration).
     use_cache = cfg.cand_k >= cfg.k_neighbors
     if use_cache:
         from ..nn.knn import knn_cand
@@ -185,46 +182,57 @@ def update_iterated(
 
     Z12 = jnp.zeros((12, 12))
 
-    def body(carry):
-        i, x, _, _, _, _, cache = carry
-        if use_cache:
-            cand, pq, pp = cache
-            # staleness guard: effective query motion since the probe
-            # (|dp| + 30 m lever * |dtheta|, the gn_scan2map metric)
-            from ..geometry import se3
-            from .gn_scan2map import _cache_motion
-
-            moved = _cache_motion(se3.Pose(x.q, x.p), pq, pp)
-            cand, pq, pp = jax.lax.cond(
-                moved > cfg.cand_refresh,
-                lambda: (probe_at(x), x.q, x.p),
-                lambda: (cand, pq, pp),
-            )
-            cache = (cand, pq, pp)
-        else:
-            cand = None
-        HtH, Htr, n_ok, sq = reduce_h(x, cand)
+    def solve_step(x, HtH, Htr):
+        """One GN/KF step at the given linearization: A dx = -(Htr + P^-1
+        (x [-] x_prop))."""
         A = P_inv.at[:12, :12].add(HtH)
-        # dx solves A dx = -(H^T r / Rm + P^-1 (x [-] x_prop))
         dxp = boxminus(x, x_prop)
         rhs = -(jnp.concatenate([Htr, jnp.zeros(DIM - 12)]) + P_inv @ dxp)
         L = jnp.linalg.cholesky(A + 1e-6 * jnp.eye(DIM))
         dx = jax.scipy.linalg.cho_solve((L, True), rhs)
-        x_new = boxplus(x, dx)
-        return i + 1, x_new, jnp.linalg.norm(dx), HtH, n_ok, sq, cache
+        return boxplus(x, dx), jnp.linalg.norm(dx)
+
+    def body(carry):
+        i, x, _, _, _, _ = carry
+        HtH, Htr, n_ok, sq = reduce_h(x, cand0)
+        x_new, dx_norm = solve_step(x, HtH, Htr)
+        return i + 1, x_new, dx_norm, HtH, n_ok, sq
 
     def keep_going(carry):
         # the reference's convergence exit: stop once |dx| < eps, capped at
         # max_iters (update_iterated_dyn_share_modified, esekfom.hpp:292-334)
-        i, _, dx_norm, _, _, _, _ = carry
+        i, _, dx_norm, _, _, _ = carry
         return (i < cfg.max_iters) & ((i == 0) | (dx_norm >= cfg.converge_eps))
 
-    cache0 = (cand0, x_prop.q, x_prop.p) if use_cache else ()
-    _, x, _, HtH, n_ok, sq, _ = jax.lax.while_loop(
+    _, x, _, HtH, n_ok, sq = jax.lax.while_loop(
         keep_going, body,
         (jnp.int32(0), x_prop, jnp.float32(jnp.inf), Z12, jnp.int32(0),
-         jnp.float32(0.0), cache0),
+         jnp.float32(0.0)),
     )
+
+    if use_cache:
+        # staleness guard (cand_refresh skin distance, the gn_scan2map
+        # metric): when the total correction moved the effective queries
+        # beyond the cache's slack — bad IMU prediction, aggressive motion —
+        # re-probe the map at the solution and run ONE fresh iteration, so
+        # the state and covariance come from an unstale neighborhood (the
+        # reference re-searches the ikd-tree every iteration). A lax.cond
+        # AFTER the loop: the untriggered (normal) case pays nothing, unlike
+        # a per-iteration guard whose loop-carried candidate planes measured
+        # +1.3 ms/scan.
+        from ..geometry import se3
+        from .gn_scan2map import _cache_motion
+
+        def refreshed():
+            cand1 = probe_at(x)
+            HtH1, Htr1, n1, sq1 = reduce_h(x, cand1)
+            x1, _ = solve_step(x, HtH1, Htr1)
+            return x1, HtH1, n1, sq1
+
+        moved = _cache_motion(se3.Pose(x.q, x.p), x_prop.q, x_prop.p)
+        x, HtH, n_ok, sq = jax.lax.cond(
+            moved > cfg.cand_refresh, refreshed,
+            lambda: (x, HtH, n_ok, sq))
     rms = jnp.sqrt(sq / jnp.maximum(n_ok, 1))
     # final covariance from the last linearization. The reference uses
     # P = (I - K H) P (esekfom.hpp:342), which drifts non-PSD in f32 over long

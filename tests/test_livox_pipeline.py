@@ -7,6 +7,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# the windowed-MAP solve is the suite's biggest XLA:CPU compile; two of them
+# in concurrent workers have segfaulted LLVM codegen on the 2-core box
+# (observed: test_window_map + this module's horizon-ref test, r4's gw1
+# crash class) — keep every module that compiles it on the serial worker
+pytestmark = pytest.mark.xdist_group("mesh8")
+
+
 from agi_lidar_slam_tpu.config import MapConfig, SolverConfig
 from agi_lidar_slam_tpu.features.dynamic_removal import DynamicRemovalConfig, remove_dynamic
 from agi_lidar_slam_tpu.features.livox import LivoxFeatureConfig

@@ -15,6 +15,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# the windowed-MAP solve is the suite's biggest XLA:CPU compile; two of them
+# in concurrent workers have segfaulted LLVM codegen on the 2-core box
+# (observed: test_window_map + this module's horizon-ref test, r4's gw1
+# crash class) — keep every module that compiles it on the serial worker
+pytestmark = pytest.mark.xdist_group("mesh8")
+
+
 from agi_lidar_slam_tpu.geometry import se3, so3
 from agi_lidar_slam_tpu.imu.eskf import NavState
 from agi_lidar_slam_tpu.presets import (LioSamRefParams, lio_config_avia_ref,

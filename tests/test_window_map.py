@@ -5,6 +5,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# the windowed-MAP solve is the suite's biggest XLA:CPU compile; two of them
+# in concurrent workers have segfaulted LLVM codegen on the 2-core box
+# (observed: test_window_map + this module's horizon-ref test, r4's gw1
+# crash class) — keep every module that compiles it on the serial worker
+pytestmark = pytest.mark.xdist_group("mesh8")
+
+
 from agi_lidar_slam_tpu.config import MapConfig, SolverConfig, preset_sim16
 from agi_lidar_slam_tpu.estimators.window_map import (
     MarginalPrior,

@@ -45,7 +45,15 @@ def _gate_exit(args, summary: dict) -> int:
     accuracy gate for dataset parity runs)."""
     if getattr(args, "summary_out", None):
         import json
+        import sys as _sys
 
+        # provenance so the artifact is self-describing (the drift/gate
+        # artifacts are judged standalone)
+        summary.setdefault("command", "tools/run_slam.py " + " ".join(_sys.argv[1:]))
+        if getattr(args, "engine", None):
+            summary.setdefault("engine", args.engine)
+        if getattr(args, "sim", False):
+            summary.setdefault("world", args.world)
         with open(args.summary_out, "w") as f:
             json.dump(summary, f, indent=1)
         print("summary written:", args.summary_out)
@@ -63,6 +71,43 @@ def _gate_exit(args, summary: dict) -> int:
         return 2
     print(f"GATE PASS ({args.gate}): within {bounds}")
     return 0
+
+
+def _make_viz(args):
+    """--live-viz PORT: start the rviz-analog SSE viewer (io/live_viz.py)."""
+    if not getattr(args, "live_viz", None):
+        return None
+    from agi_lidar_slam_tpu.io.live_viz import VizServer
+
+    viz = VizServer(port=args.live_viz).start()
+    print(f"live viz: http://localhost:{viz.port}/")
+    return viz
+
+
+def _viz_pub(viz, res, scan=None, stride=97):
+    """Publish one scan's pose + a decimated world-frame scatter. `scan` is a
+    ScanGrid or an (xyz, mask) pair; host numpy only, so the device pipeline
+    never stalls on the viewer."""
+    if viz is None:
+        return
+    pose = getattr(res, "pose", None)
+    if pose is not None:
+        t, q = np.asarray(pose.t), np.asarray(pose.q)
+    else:  # direct-LIO result: NavState
+        t, q = np.asarray(res.x.p), np.asarray(res.x.q)
+    pts = None
+    if scan is not None:
+        xyz, m = (scan if isinstance(scan, tuple)
+                  else (scan.xyz, scan.mask))
+        xyz = np.asarray(xyz).reshape(-1, 3)[::stride]
+        m = np.asarray(m).reshape(-1)[::stride]
+        xyz = xyz[m]
+        w, x, y, z = q
+        R = np.array([[1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                      [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                      [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+        pts = xyz @ R.T + t
+    viz.publish(t, pose_q=q, points=pts)
 
 
 def main() -> int:
@@ -145,6 +190,9 @@ def main() -> int:
                          "Pairs are verified by submap alignment before the "
                          "edge is added, then applied at end of stream")
     ap.add_argument("--viz", help="render trajectory/metrics PNG after the run")
+    ap.add_argument("--live-viz", type=int, metavar="PORT",
+                    help="serve the live rviz-analog viewer (SSE + embedded "
+                         "canvas page, io/live_viz.py) on this port")
     ap.add_argument("--slam", action="store_true",
                     help="full SLAM (keyframes + loop closure) instead of odometry")
     ap.add_argument("--load-map",
@@ -297,6 +345,7 @@ def main() -> int:
         ap.error("need --kitti or --sim")
 
     metrics = MetricsWriter(args.metrics)
+    viz = _make_viz(args)
     timer = StageTimer()
     est, est_q = [], []
 
@@ -315,6 +364,7 @@ def main() -> int:
             est.append(np.asarray(res.pose.t))
             est_q.append(np.asarray(res.pose.q)[[1, 2, 3, 0]])
             metrics.log_scan(n, res, (time.perf_counter() - t0) * 1e3)
+            _viz_pub(viz, res, scan)
             n += 1
         driver.finalize()
         _apply_loop_pairs(args, driver)
@@ -331,6 +381,7 @@ def main() -> int:
             est.append(np.asarray(res.pose.t))
             est_q.append(np.asarray(res.pose.q)[[1, 2, 3, 0]])
             metrics.log_scan(n, res, (time.perf_counter() - t0) * 1e3)
+            _viz_pub(viz, res, scan)
             n += 1
 
     wall = time.perf_counter() - t_start
@@ -385,6 +436,7 @@ def _run_sim_imu(args, scans, imu_at, gt_positions, gt_quats,
     from agi_lidar_slam_tpu.runtime.metrics import MetricsWriter, StageTimer
 
     metrics = MetricsWriter(args.metrics)
+    viz = _make_viz(args)
     timer = StageTimer()
     est, est_q = [], []
     v0 = jnp.asarray([0.35 / scan_period, 0.0, 0.0])  # all worlds start +x
@@ -411,6 +463,7 @@ def _run_sim_imu(args, scans, imu_at, gt_positions, gt_quats,
             est.append(np.asarray(res.x.p))
             est_q.append(np.asarray(res.x.q)[[1, 2, 3, 0]])
             metrics.log_scan(i, res, timer.last_ms)
+            _viz_pub(viz, res, scan)
     elif args.engine == "liosam":
         from agi_lidar_slam_tpu.runtime.liosam_pipeline import (LioSamConfig,
                                                                 LioSamDriver)
@@ -428,6 +481,7 @@ def _run_sim_imu(args, scans, imu_at, gt_positions, gt_quats,
             est.append(np.asarray(res.pose.t))
             est_q.append(np.asarray(res.pose.q)[[1, 2, 3, 0]])
             metrics.log_scan(i, res, timer.last_ms)
+            _viz_pub(viz, res, scan)
         driver.finalize()
         print(f"loops closed: {driver.n_loops_closed}")
     else:  # livox
@@ -451,6 +505,7 @@ def _run_sim_imu(args, scans, imu_at, gt_positions, gt_quats,
             est.append(np.asarray(res.pose.t))
             est_q.append(np.asarray(res.pose.q)[[1, 2, 3, 0]])
             metrics.log_scan(i, res, timer.last_ms)
+            _viz_pub(viz, res, scan)
 
     n = len(est)
     wall = timer.summary()["scan"]["total_s"]
@@ -567,6 +622,7 @@ def _run_bag(args) -> int:
     from agi_lidar_slam_tpu.runtime.metrics import MetricsWriter, StageTimer
 
     metrics = MetricsWriter(args.metrics)
+    viz = _make_viz(args)
     timer = StageTimer()
     est = []
     n = 0
@@ -679,6 +735,7 @@ def _run_bag(args) -> int:
                     pmask, win, cfg)
             est.append(np.asarray(res.x.p))
             metrics.log_scan(n, res, timer.last_ms)
+            _viz_pub(viz, res, (b.xyz, b.mask))
             n += 1
             if args.max_scans and n >= args.max_scans:
                 break
@@ -704,6 +761,7 @@ def _run_bag(args) -> int:
                 res = driver.process(grid, imu_win(b))
             est.append(np.asarray(res.pose.t))
             metrics.log_scan(n, res, timer.last_ms)
+            _viz_pub(viz, res, grid)
             n += 1
             if args.max_scans and n >= args.max_scans:
                 break
@@ -729,6 +787,7 @@ def _run_bag(args) -> int:
                 res = driver.process(grid, imu_win(b), gps=gps_of(b))
             est.append(np.asarray(res.pose.t))
             metrics.log_scan(n, res, timer.last_ms)
+            _viz_pub(viz, res, grid)
             n += 1
             if args.max_scans and n >= args.max_scans:
                 break
@@ -834,6 +893,7 @@ def _run_bag(args) -> int:
                     win.gyro, win.dt, win.mask))
             _feature_health_check(res, n)
             metrics.log_scan(n, res, timer.last_ms)
+            _viz_pub(viz, res, grid)
             n += 1
             if args.max_scans and n >= args.max_scans:
                 break
