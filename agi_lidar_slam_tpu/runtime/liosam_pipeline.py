@@ -372,7 +372,11 @@ class LioSamDriver:
 
     def _close_loop(self, cand):
         cfg = self.cfg.slam
-        edges2, accept, fitness = _align_step(self.bank, self.edges, cand, cfg)
+        # traced `cur` keeps this on the SAME _align_step executable as the
+        # slam driver's paths (see slam_pipeline._try_close_loop)
+        cur = jnp.maximum(self.bank.count - 1, 0)
+        edges2, accept, fitness = _align_step(self.bank, self.edges, cand, cfg,
+                                              cur=cur)
         if bool(accept):
             bank2, engine2 = _correct_and_rebuild(
                 self.bank, edges2, self.state.engine, self.cfg.slam)

@@ -294,6 +294,13 @@ class SlamDriver:
 
     def _try_close_loop(self, cand, cur=None):
         cfg, st = self.cfg, self.state
+        # always pass `cur` as a TRACED tensor: a Python-None default is a
+        # different trace signature, i.e. a SECOND compiled specialization of
+        # the suite's biggest program (and XLA:CPU compiles of it late in a
+        # long-lived process have segfaulted; one shared executable also
+        # halves its compile cost)
+        if cur is None:
+            cur = jnp.maximum(st.bank.count - 1, 0)
         edges2, accept, fitness = _align_step(st.bank, st.edges, cand, cfg,
                                               cur=cur)
         if bool(accept):

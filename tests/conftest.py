@@ -61,8 +61,79 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__),
                                f".jax_cache-{_cpu_tag()}-{_worker}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+# XLA-side caches stay OFF: "all" force-enables
+# xla_gpu_enable_llvm_module_compilation_parallelism (jax compiler.py sets it
+# whenever the kernel-cache file is on, and it reaches the CPU pipeline too,
+# overriding --xla_cpu_parallel_codegen_split_count=1) — the parallel LLVM
+# module compilation is the segfault source behind the intermittent
+# worker crashes on the suite's biggest programs, and the same AOT loader
+# produced the machine-feature numerics poisoning described above. The
+# JAX-level jit cache below is the one that matters for suite wall time.
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 # drop only the axon plugin: the stock 'tpu' factory must stay registered so
 # jax.experimental.pallas.tpu can register its lowerings (it never initializes
 # under jax_platforms=cpu)
 _xb._backend_factories.pop("axon", None)
+
+# Cross-process XLA compile lock: XLA:CPU's compile + executable-serialize
+# path segfaults INTERMITTENTLY when two suite workers compile big programs
+# concurrently on this 2-core box (observed across rounds in
+# backend_compile_and_load AND compilation_cache.put_executable_and_time on
+# the windowed-MAP / loop-closure programs; single-process runs never crash,
+# cold or warm). Serializing compilation across processes removes the
+# trigger while test EXECUTION stays parallel; warm runs hit the persistent
+# cache and skip the lock's critical section almost entirely.
+import fcntl  # noqa: E402
+
+from jax._src import compiler as _jax_compiler  # noqa: E402
+
+_orig_compile_or_get_cached = _jax_compiler.compile_or_get_cached
+_COMPILE_LOCK = os.path.join(os.path.dirname(__file__), ".xla_compile.lock")
+
+
+def _locked_compile_or_get_cached(*args, **kwargs):
+    with open(_COMPILE_LOCK, "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            return _orig_compile_or_get_cached(*args, **kwargs)
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
+
+
+_jax_compiler.compile_or_get_cached = _locked_compile_or_get_cached
+
+# ...and even under the lock, PJRT:CPU executable serialization AND
+# deserialization segfault intermittently on the biggest programs (the
+# loop-closure align and correct+rebuild jits) once a worker has a long
+# test history — observed repeatedly on
+# test_slam_full::test_external_loop_candidate in xdist workers (crash in
+# put_executable_and_time's serialize() one run, in get_executable_and_time
+# deserializing the same entry the next), never in fresh processes. Keep
+# those programs OUT of the persistent cache entirely: they recompile per
+# run (~1 min) instead of being able to kill a worker either way.
+from jax._src import compilation_cache as _jax_cc  # noqa: E402
+
+_SERIALIZE_SKIP = ("_align_step", "_correct_and_rebuild",
+                   "window_information")
+_orig_put_executable = _jax_cc.put_executable_and_time
+_orig_cache_read = _jax_compiler._cache_read
+
+
+def _guarded_put_executable(cache_key, module_name, executable, backend,
+                            compile_time):
+    if any(s in module_name for s in _SERIALIZE_SKIP):
+        return
+    return _orig_put_executable(cache_key, module_name, executable, backend,
+                                compile_time)
+
+
+def _guarded_cache_read(module_name, cache_key, compile_options, backend,
+                        executable_devices):
+    if any(s in module_name for s in _SERIALIZE_SKIP):
+        return None, None
+    return _orig_cache_read(module_name, cache_key, compile_options, backend,
+                            executable_devices)
+
+
+_jax_cc.put_executable_and_time = _guarded_put_executable
+_jax_compiler._cache_read = _guarded_cache_read

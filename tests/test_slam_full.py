@@ -6,6 +6,10 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 import pytest
+# loop-closure align/rebuild are among the suite's biggest XLA:CPU compiles:
+# keep them on the serial heavy-compile worker (see test_window_map.py)
+pytestmark = pytest.mark.xdist_group("mesh8")
+
 
 from agi_lidar_slam_tpu.config import MapConfig, SolverConfig, preset_sim16
 from agi_lidar_slam_tpu.eval.metrics import ate_rmse
